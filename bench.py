@@ -1,0 +1,95 @@
+"""Headline benchmark: SNARE-seq-class coupled-VAE training throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.md): the reference PyTorch-CPU training phase sustains
+~6-17k cell-samples/s (batch 512 x batches/epoch over epoch time) on its
+committed time-and-memory.ipynb runs; 17k/s is taken as the baseline so
+vs_baseline is conservative. Config mirrors the SNARE-seq cell-lines
+benchmark shape (~1k cells, RNA + ATAC with PCA-512 front end) — BASELINE.json
+config 3 — and the reference defaults output_dim=32, batch_size=512,
+pca_dim=[512,512].
+
+Measured: cell-samples/s through the full jitted train loop (sampling, P/F
+row-normalization, forward, 4-term loss, grad, clip, Adam) after the PCA
+preprocessing, excluding compilation (warmup chunk discarded).
+"""
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_CELLS_PER_SEC = 17_000.0
+
+
+def make_snare_like(n=1047, d_rna=3000, d_atac=5000, seed=0):
+    """Synthetic SNARE-seq-shaped paired data (cell lines, ~1k cells)."""
+    rng = np.random.RandomState(seed)
+    k = 16
+    z = rng.randn(n, k).astype(np.float32)
+    # 4 "cell line" clusters
+    centers = rng.randn(4, k).astype(np.float32) * 2
+    assign = rng.randint(0, 4, n)
+    z += centers[assign]
+    x_rna = np.maximum(z @ rng.randn(k, d_rna).astype(np.float32)
+                       + 0.5 * rng.randn(n, d_rna).astype(np.float32), 0)
+    x_atac = (z @ rng.randn(k, d_atac).astype(np.float32)
+              + 0.5 * rng.randn(n, d_atac).astype(np.float32) > 0.5
+              ).astype(np.float32)
+    return [x_rna, x_atac], assign
+
+
+def main():
+    from jamie_tpu.config import JamieConfig
+    from jamie_tpu.models import CoupledVAE
+    from jamie_tpu.preprocess import Preprocessor
+    from jamie_tpu.train.trainer import JamieTrainer
+
+    data, labels = make_snare_like()
+    n = data[0].shape[0]
+
+    cfg = JamieConfig(epoch_DNN=10_000, min_epochs=2500, batch_size=512,
+                      log_DNN=100_000, use_early_stop=False,
+                      epoch_chunk=200)
+
+    # PCA-512 front end (reference default pca_dim=[512, 512])
+    pres = [Preprocessor.fit(d, pca_dim=512) for d in data]
+    transformed = [pre.transform(d) for pre, d in zip(pres, data)]
+
+    model = CoupledVAE(tuple(x.shape[1] for x in transformed),
+                       cfg.output_dim, dropout=cfg.dropout)
+    P = np.eye(n, dtype=np.float32)
+    F = np.zeros((n, n), np.float32)
+    trainer = JamieTrainer(cfg, model, transformed, P, F)
+    state = trainer.init_state()
+
+    chunk_fn = trainer._chunk_fn(cfg.epoch_chunk)
+    # Warmup: compile + first chunk
+    state, _ = chunk_fn(state)
+    import jax
+    jax.block_until_ready(state.params)
+
+    # Timed chunks
+    n_timed_chunks = 5
+    t0 = time.perf_counter()
+    for _ in range(n_timed_chunks):
+        state, _ = chunk_fn(state)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    epochs = n_timed_chunks * cfg.epoch_chunk
+    steps = epochs * trainer.len_dataloader
+    cell_samples = steps * trainer.batch_size
+    cells_per_sec = cell_samples / dt
+
+    print(json.dumps({
+        'metric': 'snare_seq_train_cells_per_sec_per_chip',
+        'value': round(cells_per_sec, 1),
+        'unit': 'cell-samples/s',
+        'vs_baseline': round(cells_per_sec / BASELINE_CELLS_PER_SEC, 2),
+    }))
+
+
+if __name__ == '__main__':
+    main()

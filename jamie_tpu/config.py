@@ -1,0 +1,146 @@
+"""Configuration for the JAMIE-TPU estimator.
+
+The reference spreads configuration over three tiers: JAMIE constructor
+kwargs (jamie/jamie.py:38-62), default-overrides pushed into the UnionCom
+base-class kwargs (jamie/jamie.py:98-109), and inherited UnionCom
+constructor params (used at jamie/jamie.py:129-139,142,354-412,511,546).
+Here everything the training/solver path actually reads is owned by a single
+frozen dataclass, which doubles as the canonical cache key
+(`hash_kwargs`-style, jamie/utilities.py:610-636).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+from typing import Any, Optional, Sequence, Tuple
+
+DISTANCE_MODES = (
+    # Pairwise (sklearn-compatible metric names; jamie/jamie.py:117-127)
+    'euclidean', 'l2', 'l1', 'manhattan', 'cityblock', 'braycurtis',
+    'canberra', 'chebyshev', 'correlation', 'cosine', 'dice', 'hamming',
+    'jaccard', 'kulsinski', 'mahalanobis', 'matching', 'minkowski',
+    'rogerstanimoto', 'russellrao', 'seuclidean', 'sokalmichener',
+    'sokalsneath', 'sqeuclidean', 'yule', 'wminkowski', 'nan_euclidean',
+    'haversine',
+    # Non-pairwise
+    'geodesic', 'spearman', 'pearson',
+)
+
+SAMPLING_METHODS = ('diag', 'hybrid', 'zeros')
+
+
+@dataclasses.dataclass(frozen=True)
+class JamieConfig:
+    """All knobs of the JAMIE fit, with reference defaults.
+
+    Fields mirror the reference constructor (jamie/jamie.py:38-62) plus the
+    inherited UnionCom params the JAMIE path reads (SURVEY.md section 2.2).
+    """
+
+    # --- Model / projection (jamie/jamie.py:38-62) ---
+    output_dim: int = 32
+    pca_dim: Optional[Tuple[Optional[int], ...]] = (512, 512)
+    model_pca: str = 'pca'            # 'pca' | 'umap' (umap gated; pca default)
+    dropout: Optional[float] = None   # None -> 0.6 if max(dim) > 64 else 0
+    dist_method: str = 'euclidean'    # similarity used in the cosine loss term
+    PF_Ratio: Optional[float] = None  # None -> 1.0 (jamie/jamie.py:517)
+    loss_weights: Optional[Tuple[float, ...]] = None
+
+    # --- Training loop (jamie/jamie.py:48-62,98-109) ---
+    model_lr: float = 1e-3
+    epoch_DNN: int = 10000
+    batch_size: int = 512
+    batch_step: bool = True
+    min_epochs: int = 2500
+    min_increment: float = 1e-8
+    max_steps_without_increment: int = 500
+    use_early_stop: bool = True
+    log_DNN: int = 500
+    log_debug: int = 100
+    debug: bool = False
+    record_loss: bool = True
+
+    # --- Correspondence solver (UnionCom-inherited; jamie/jamie.py:314-414) ---
+    use_f_tilde: bool = True
+    corr_method: str = 'unioncom'     # 'unioncom' | 'jamie' (low-rank, WIP in ref)
+    epoch_pd: int = 2000
+    epsilon: float = 0.001            # prime-dual step size
+    rho: float = 10.0                 # augmented-lagrangian penalty
+    delay: int = 0                    # iterations before scale factor updates
+    log_pd: int = 500
+
+    # --- Distances (jamie/jamie.py:839-890) ---
+    distance_mode: str = 'geodesic'   # UnionCom-inherited default
+    kmax: int = 40                    # geodesic kNN cap
+    perplexity: float = 30.0          # legacy tsne path
+
+    # --- Misc ---
+    manual_seed: int = 666
+    integration_type: str = 'MultiOmics'
+    project_mode: str = 'jamie'
+    in_place: bool = False
+    enable_memory_logging: bool = False
+
+    # --- TPU-native knobs (no reference equivalent) ---
+    compute_dtype: str = 'float32'    # 'float32' | 'bfloat16' model compute
+    solver_dtype: str = 'float32'     # prime-dual matmul precision
+    epoch_chunk: int = 100            # epochs per scan-compiled chunk
+    mesh_shape: Optional[Tuple[int, ...]] = None   # None -> all devices on 'data'
+    mesh_axis_names: Tuple[str, ...] = ('data',)
+    true_ratio: float = 0.8           # hybrid-sampling corr fraction (jamie.py:529)
+
+    def __post_init__(self):
+        if self.integration_type != 'MultiOmics':
+            raise ValueError("integration_type error! Enter MultiOmics.")
+        if self.distance_mode not in DISTANCE_MODES:
+            raise ValueError('distance_mode error! Enter a correct distance_mode.')
+        if self.project_mode not in ('jamie', 'tsne'):
+            raise ValueError("Choose correct project_mode: 'jamie', 'tsne'.")
+        if self.model_pca not in ('pca', 'umap', 'tsne'):
+            raise ValueError("model_pca must be one of 'pca', 'umap', 'tsne'.")
+        if self.corr_method not in ('unioncom', 'jamie'):
+            raise ValueError("corr_method must be 'unioncom' or 'jamie'.")
+        # Normalize sequences to tuples so the config hashes canonically
+        if self.loss_weights is not None and not isinstance(self.loss_weights, tuple):
+            object.__setattr__(self, 'loss_weights', tuple(self.loss_weights))
+        if self.pca_dim is not None and not isinstance(self.pca_dim, tuple):
+            object.__setattr__(self, 'pca_dim', tuple(self.pca_dim))
+
+    def replace(self, **kw) -> 'JamieConfig':
+        return dataclasses.replace(self, **kw)
+
+    # --- canonical hashing (reference: hash_kwargs, jamie/utilities.py:610-636) ---
+    def nondefault_kwargs(self) -> dict:
+        """Dict of fields that differ from the defaults."""
+        default = JamieConfig()
+        out = {}
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            if v != getattr(default, f.name):
+                out[f.name] = v
+        return out
+
+    def cache_key(self, dataset_name: str, shapes: Sequence[Tuple[int, int]]) -> str:
+        """Canonical string for cache filenames, like the reference's hash_kwargs."""
+        size_str = '---'.join(
+            [dataset_name] + ['-'.join(str(s) for s in shape) for shape in shapes])
+        kw = {k: v for k, v in sorted(self.nondefault_kwargs().items())
+              if k not in ('enable_memory_logging', 'debug', 'record_loss')}
+        if not kw:
+            return size_str
+        blob = json.dumps(kw, sort_keys=True, default=str)
+        digest = hashlib.sha1(blob.encode()).hexdigest()[:10]
+        return f'{size_str}---{digest}'
+
+
+def config_from_kwargs(**kwargs: Any) -> JamieConfig:
+    """Build a config from loose reference-style kwargs, ignoring unknown ones
+    the reference silently forwarded to UnionCom but never used."""
+    field_names = {f.name for f in dataclasses.fields(JamieConfig)}
+    known = {k: v for k, v in kwargs.items() if k in field_names}
+    # Reference alias: `lr` was the UnionCom name forwarded for the DNN phase
+    if 'lr' in kwargs and 'model_lr' not in kwargs:
+        known['model_lr'] = kwargs['lr']
+    return JamieConfig(**known)

@@ -1,0 +1,390 @@
+"""The JAMIE estimator — the public scikit-learn-style API.
+
+Reference parity: class `JAMIE` (jamie/jamie.py:29-972). Same surface:
+`fit_transform(dataset, P)`, `match`, `Prime_Dual`, `project_jamie`,
+`modal_predict`, `transform`, `transform_one`, `compute_distances`,
+`test_closer`, `test_label_dist`, `test_LabelTA`, `save_model`,
+`load_model`, `Visualize`. The UnionCom base class disappears — everything
+the JAMIE path used from it (SURVEY.md section 2.2) is owned here.
+
+TPU-first: distances/F-solver/training all run on device; the estimator is a
+thin host orchestration layer holding numpy views, the fitted flax params,
+and array-based preprocessors.
+"""
+
+from __future__ import annotations
+
+import warnings
+from itertools import product
+from typing import Any, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ._meta import __version__
+from .config import JamieConfig, config_from_kwargs
+from .core.mesh import create_mesh
+from .core.timing import TimeLogger
+from .models.coupled_vae import CoupledVAE
+from .ops.distances import dataset_distance_matrix, pairwise_distance
+from .ops.distances import _pairwise_euclidean_impl
+from .preprocess import Preprocessor
+from .persistence import load_checkpoint, save_checkpoint
+from .solvers.assignment import hungarian_pairs
+from .solvers.prime_dual import prime_dual
+from .train.trainer import JamieTrainer
+
+
+def _unwrap_anndata(dataset):
+    """AnnData unwrap (jamie/jamie.py:147-149); anndata is an optional dep."""
+    try:
+        import anndata as ad
+    except ImportError:
+        return dataset, None
+    if isinstance(dataset[0], ad.AnnData):
+        return [d.X for d in dataset], dataset
+    return dataset, None
+
+
+class JAMIE:
+    """Joint variational autoencoders for multimodal imputation & embedding,
+    re-built TPU-native on jax/flax/pallas.
+
+    Constructor accepts the reference's kwargs (jamie/jamie.py:38-62) plus the
+    UnionCom-inherited ones the fit path reads; see `JamieConfig`.
+    """
+
+    def __init__(self, match_result=None, mesh=None, use_mesh: bool = False,
+                 **kwargs):
+        if 'device' in kwargs:
+            kwargs.pop('device')  # TPU build: placement is jax's job
+        self.P = kwargs.pop('P', None)
+        self.config = config_from_kwargs(**kwargs)
+        self.match_result = match_result
+        self.mesh = mesh
+        if mesh is None and use_mesh and len(jax.devices()) > 1:
+            self.mesh = create_mesh(axis_names=self.config.mesh_axis_names)
+        self.model: Optional[CoupledVAE] = None
+        self.params = None
+        self.batch_stats = None
+        self.preprocessors: Optional[Sequence[Preprocessor]] = None
+        self.dataset_num = 2
+        self.loss_history = {}
+        self.dist = None
+        self.trainer: Optional[JamieTrainer] = None
+
+    # ------------------------------------------------------------------ fit
+    def fit_transform(self, dataset=None, P=None):
+        """Full pipeline: distances -> correspondence F -> coupled-VAE
+        training -> integrated embeddings (jamie/jamie.py:113-222)."""
+        cfg = self.config
+        if P is not None:
+            self.P = P
+
+        time = TimeLogger(memory_usage=cfg.enable_memory_logging, block=True)
+        np.random.seed(cfg.manual_seed)
+
+        self.dataset, self.dataset_annotation = _unwrap_anndata(dataset)
+        if not cfg.in_place:
+            self.dataset = [np.array(d) for d in self.dataset]
+        else:
+            self.dataset = [np.asarray(d) for d in self.dataset]
+
+        self.dataset_num = len(self.dataset)
+        assert self.dataset_num == 2, (
+            'Currently only compatible with 2 modalities.')
+        self.row = [int(np.shape(d)[0]) for d in self.dataset]
+        self.col = [int(np.shape(d)[1]) for d in self.dataset]
+
+        self.compute_distances(save_dist=(
+            cfg.project_mode in ['tsne']
+            or (self.match_result is None and cfg.use_f_tilde)))
+        time.log('Distance')
+
+        if not cfg.use_f_tilde:
+            self.match_result = [
+                np.zeros([d.shape[0] for d in self.dataset], np.float32)]
+        if self.match_result is None:
+            self.match_result = self.match()
+        self.pairs_x, self.pairs_y = [], []
+        for i in range(self.dataset_num - 1):
+            row_ind, col_ind = hungarian_pairs(self.match_result[i])
+            self.pairs_x.append(row_ind)
+            self.pairs_y.append(col_ind)
+        time.log('Correspondence')
+
+        if cfg.project_mode == 'tsne':
+            raise NotImplementedError(
+                "project_mode='tsne' is the legacy UnionCom path "
+                '(jamie/jamie.py:184-195); the TPU build supports the '
+                "default project_mode='jamie'.")
+        match_matrix = [[None for _ in range(self.dataset_num)]
+                        for _ in range(self.dataset_num)]
+        k = 0
+        for i, j in product(*(2 * [range(self.dataset_num)])):
+            if i == j:
+                mat = None
+            elif i > j:
+                mat = match_matrix[j][i].T
+            else:
+                mat = self.match_result[k]
+                k += 1
+            match_matrix[i][j] = mat
+        integrated_data = self.project_jamie(match_matrix)
+        time.log('Mapping')
+
+        print('-' * 33)
+        print('JAMIE Done!')
+        time.aggregate()
+        time.stop()
+        print()
+        return integrated_data
+
+    # ------------------------------------------------------------ distances
+    def compute_distances(self, save_dist: bool = True):
+        """Per-dataset distance matrices (jamie/jamie.py:839-890)."""
+        cfg = self.config
+        if save_dist:
+            self.dist = []
+        print('Shape of Raw data')
+        for i in range(self.dataset_num):
+            print('Dataset {}:'.format(i), np.shape(self.dataset[i]))
+            if save_dist:
+                self.dist.append(dataset_distance_matrix(
+                    self.dataset[i], cfg.distance_mode, kmax=cfg.kmax))
+
+    # -------------------------------------------------------- correspondence
+    def match(self):
+        """Find correspondence between multi-omics datasets
+        (jamie/jamie.py:224-250)."""
+        cfg = self.config
+        print('Device:', jax.devices()[0].platform)
+        cor_pairs = []
+        for i in range(self.dataset_num):
+            for j in range(i, self.dataset_num):
+                if i == j:
+                    continue
+                print('-' * 33)
+                print(f'Find correspondence between Dataset {i + 1} '
+                      f'and Dataset {j + 1}')
+                if cfg.corr_method == 'unioncom':
+                    F = self.Prime_Dual(
+                        [self.dist[i], self.dist[j]],
+                        dx=self.col[i], dy=self.col[j])
+                else:
+                    warnings.warn(
+                        'Correlation method `jamie` is currently a WIP, and '
+                        'does not produce reliable results')
+                    F = self.com_corr([self.dist[i], self.dist[j]])
+                cor_pairs.append(F)
+        print('Finished Matching!')
+        return cor_pairs
+
+    def Prime_Dual(self, dist, dx=None, dy=None, verbose=True):
+        cfg = self.config
+        return prime_dual(
+            dist[0], dist[1], dx=dx, dy=dy,
+            epoch_pd=cfg.epoch_pd, rho=cfg.rho, epsilon=cfg.epsilon,
+            delay=cfg.delay, log_pd=cfg.log_pd, verbose=verbose,
+            precision=('highest' if cfg.solver_dtype == 'float32'
+                       else 'default'))
+
+    def com_corr(self, dist):
+        """Experimental low-rank correspondence (jamie/jamie.py:252-312).
+        Kept for API parity; like the reference, warned unreliable."""
+        from .solvers.lowrank import lowrank_corr
+        return lowrank_corr(dist[0], dist[1])
+
+    # ------------------------------------------------------------- training
+    def project_jamie(self, W):
+        """Train the coupled VAE and return integrated embeddings
+        (jamie/jamie.py:416-804)."""
+        cfg = self.config
+        print('-' * 33)
+        print('Train coupled autoencoders')
+        assert len(W) == 2, 'Currently only compatible with 2 modalities.'
+
+        if self.P is None:
+            if self.row[0] == self.row[1]:
+                self.P = np.eye(self.row[0], dtype=np.float32)
+            else:
+                self.P = np.zeros((self.row[0], self.row[1]), np.float32)
+        self.P = np.asarray(self.P, np.float32)
+        self.F = np.asarray(W[0][1], np.float32)
+
+        # Preprocessing per modality (jamie.py:434-469)
+        pca_dims = cfg.pca_dim if cfg.pca_dim is not None else (None, None)
+        self.preprocessors = tuple(
+            Preprocessor.fit(data, pca_dim=dim, method=cfg.model_pca)
+            for dim, data in zip(pca_dims, self.dataset))
+        transformed = [pre.transform(d)
+                       for pre, d in zip(self.preprocessors, self.dataset)]
+        self.col = [int(x.shape[1]) for x in transformed]
+
+        self.model = CoupledVAE(
+            input_dim=tuple(self.col), output_dim=cfg.output_dim,
+            dropout=cfg.dropout,
+            compute_dtype=jnp.bfloat16 if cfg.compute_dtype == 'bfloat16'
+            else jnp.float32)
+
+        self.trainer = JamieTrainer(
+            cfg, self.model, transformed, self.P, self.F, mesh=self.mesh)
+        state = self.trainer.fit()
+        self.params = state.params
+        self.batch_stats = state.batch_stats
+        self.train_state = state
+        self.loss_history = self.trainer.loss_history
+        self.epochs_run = self.trainer.epochs_run
+        self.fit_seconds = self.trainer.fit_seconds
+        self.sampling_method = self.trainer.sampling_method
+
+        integrated_data = self.trainer.final_embed(state)
+        print('Finished Mapping!')
+        return integrated_data
+
+    # ------------------------------------------------------------ inference
+    def _variables(self):
+        assert self.model is not None, (
+            'Model must be trained before modal prediction.')
+        return {'params': self.params, 'batch_stats': self.batch_stats}
+
+    def modal_predict(self, data, modality: int, pre_transformed: bool = False):
+        """Cross-modal imputation (jamie/jamie.py:806-815)."""
+        assert self.model is not None, (
+            'Model must be trained before modal prediction.')
+        to_modality = (modality + 1) % self.dataset_num
+        if not pre_transformed:
+            data = self.preprocessors[modality].transform(data)
+        decoded = self.model.apply(
+            self._variables(), jnp.asarray(data, jnp.float32),
+            modality, to_modality, train=False, method=CoupledVAE.impute)
+        return np.asarray(
+            self.preprocessors[to_modality].inverse_transform(
+                np.asarray(decoded)))
+
+    def transform(self, dataset, corr=None, pre_transformed: bool = False):
+        """Re-embed both modalities with a trained model
+        (jamie/jamie.py:817-829)."""
+        assert self.model is not None, (
+            'Model must be trained before transform.')
+        if corr is None:
+            if dataset[0].shape[0] == dataset[1].shape[0]:
+                corr = jnp.eye(dataset[0].shape[0], dtype=jnp.float32)
+            else:
+                corr = jnp.zeros(
+                    (dataset[0].shape[0], dataset[1].shape[0]), jnp.float32)
+        if not pre_transformed:
+            dataset = [self.preprocessors[i].transform(dataset[i])
+                       for i in range(len(dataset))]
+        xs = [jnp.asarray(d, jnp.float32) for d in dataset]
+        outputs = self.model.apply(self._variables(), xs,
+                                   jnp.asarray(corr), train=False)
+        return [np.asarray(z) for z in outputs[0]]
+
+    def transform_one(self, data, i: int, pre_transformed: bool = False):
+        """Single-modality embedding via the mu head (jamie/jamie.py:831-837)."""
+        assert self.model is not None, (
+            'Model must be trained before transform.')
+        if not pre_transformed:
+            data = self.preprocessors[i].transform(data)
+        mu = self.model.apply(
+            self._variables(), jnp.asarray(data, jnp.float32), i,
+            train=False, method=CoupledVAE.embed_one)
+        return np.asarray(mu)
+
+    # -------------------------------------------------------------- metrics
+    def test_closer(self, integrated_data, distance_metric=None):
+        """FOSCTTM, both directions (jamie/jamie.py:892-915).
+
+        Device fast path: only the cross-modality NxN distance block is
+        needed (the reference builds the full (2N)^2 matrix)."""
+        assert len(integrated_data) == 2, (
+            'Two datasets are supported for FOSCTTM')
+        if distance_metric is not None:
+            distances = distance_metric(
+                np.concatenate(integrated_data, axis=0))
+            size = integrated_data[0].shape[0]
+            raw = 0
+            for i in range(size):
+                local = distances[i][size:]
+                raw += np.sum(local < local[i])
+                local = distances[size + i][:size]
+                raw += np.sum(local < local[i])
+            foscttm = raw / (2 * size ** 2)
+        else:
+            foscttm = float(_foscttm_device(
+                jnp.asarray(integrated_data[0], jnp.float32),
+                jnp.asarray(integrated_data[1], jnp.float32)))
+        print(f'foscttm: {foscttm}')
+        return foscttm
+
+    def test_label_dist(self, integrated_data, datatype,
+                        distance_metric=None, verbose=True):
+        """Inter-label centroid distances (jamie/jamie.py:917-941)."""
+        assert len(integrated_data) == 2, (
+            'Two datasets are supported for ``label_dist``')
+        data = np.concatenate(integrated_data, axis=0)
+        labels = np.concatenate(datatype)
+        keys = np.unique(labels)
+        centroids = np.stack([
+            np.average(data[labels == lab, :], axis=0) for lab in keys])
+        if distance_metric is None:
+            dist = np.asarray(pairwise_distance(centroids, 'euclidean'))
+        else:
+            dist = distance_metric(centroids)
+        if verbose:
+            print(f'Inter-label distances ({list(keys)}):')
+            print(dist)
+        return keys, dist
+
+    def test_LabelTA(self, integrated_data, datatype, k=None,
+                     return_k: bool = False):
+        """Label-transfer accuracy via kNN (jamie/jamie.py:943-961)."""
+        from .evaluation import knn_label_transfer_accuracy
+        acc, k = knn_label_transfer_accuracy(integrated_data, datatype, k=k)
+        if return_k:
+            return acc, k
+        return acc
+
+    def Visualize(self, data, integrated_data, datatype=None, mode=None):
+        """In-class API for the visualization function (jamie/jamie.py:963-965)."""
+        from .utils import uc_visualize
+        uc_visualize(data, integrated_data, datatype=datatype, mode=mode)
+
+    # ---------------------------------------------------------- persistence
+    def save_model(self, f):
+        """Array-based checkpoint (replaces torch whole-module pickle,
+        jamie/jamie.py:967-968)."""
+        header = {
+            'version': __version__,
+            'input_dim': list(self.model.input_dim),
+            'output_dim': self.model.output_dim,
+            'dropout': self.model.dropout,
+            'num_modalities': self.dataset_num,
+        }
+        save_checkpoint(f, self.params, self.batch_stats,
+                        self.preprocessors, header)
+
+    def load_model(self, f):
+        """Restore a checkpoint (jamie/jamie.py:970-972)."""
+        params, batch_stats, pres, header = load_checkpoint(f)
+        self.params = params
+        self.batch_stats = batch_stats
+        self.preprocessors = pres
+        self.dataset_num = int(header['num_modalities'])
+        self.model = CoupledVAE(
+            input_dim=tuple(header['input_dim']),
+            output_dim=int(header['output_dim']),
+            dropout=header['dropout'])
+        return self
+
+
+def _foscttm_device(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Fraction of samples closer than the true match, both directions."""
+    d = _pairwise_euclidean_impl(a, b, squared=True)  # monotone in distance
+    diag = jnp.diagonal(d)
+    closer_ab = jnp.sum(d < diag[:, None])            # A->B rows
+    closer_ba = jnp.sum(d < diag[None, :])            # B->A columns
+    n = a.shape[0]
+    return (closer_ab + closer_ba) / (2.0 * n * n)

@@ -1,0 +1,12 @@
+from .coupled_vae import CoupledVAE, TorchDense, combine_latents
+from .simple import SimpleCoupledAE
+from .baselines import (
+    BABELMini, SimpleCommonDualModel, SimpleDualModel, SimpleModel,
+    SingleModel, predict_nn,
+)
+
+__all__ = [
+    'CoupledVAE', 'TorchDense', 'combine_latents', 'SimpleCoupledAE',
+    'BABELMini', 'SimpleCommonDualModel', 'SimpleDualModel', 'SimpleModel',
+    'SingleModel', 'predict_nn',
+]

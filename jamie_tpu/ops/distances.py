@@ -1,0 +1,211 @@
+"""Sample-sample distance matrices.
+
+Reference parity: `JAMIE.compute_distances` (jamie/jamie.py:839-890) — per-
+dataset distance matrices used by the correspondence solver. The reference
+delegates to sklearn `pairwise_distances` (26 metric names), unioncom's
+`geodesic_distances` (kNN-graph shortest path), and scipy spearman/pearson.
+
+TPU-first design: the hot metrics (euclidean/sqeuclidean/cosine/correlation/
+spearman/pearson) are expressed as Gram-matrix matmuls that ride the MXU and
+are computed in row blocks so N x F never has to fit in VMEM and N x N is the
+only large output. Exotic set-membership metrics fall back to sklearn on host
+(they're cold paths used by no committed experiment). Geodesic builds the kNN
+graph on device and runs shortest-path on host (scipy csgraph) — an O(N^2)
+Dijkstra is host-bound by design; the graph construction is the heavy part.
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Metrics with an MXU-friendly device implementation
+_DEVICE_METRICS = ('euclidean', 'l2', 'sqeuclidean', 'cosine', 'correlation')
+_HOST_FALLBACK_METRICS = (
+    'l1', 'manhattan', 'cityblock', 'braycurtis', 'canberra', 'chebyshev',
+    'dice', 'hamming', 'jaccard', 'kulsinski', 'mahalanobis', 'matching',
+    'minkowski', 'rogerstanimoto', 'russellrao', 'seuclidean',
+    'sokalmichener', 'sokalsneath', 'yule', 'wminkowski', 'nan_euclidean',
+    'haversine',
+)
+
+
+def _block_rows(n: int, target: int = 4096) -> int:
+    if n <= target:
+        return n
+    return target
+
+
+@partial(jax.jit, static_argnames=('squared',))
+def _euclidean_block(xb, y, y_sq, squared: bool):
+    xb_sq = jnp.sum(xb * xb, axis=1)[:, None]
+    d2 = xb_sq + y_sq[None, :] - 2.0 * (xb @ y.T)
+    d2 = jnp.maximum(d2, 0.0)
+    return d2 if squared else jnp.sqrt(d2)
+
+
+def pairwise_sq_euclidean(x: jnp.ndarray, y: Optional[jnp.ndarray] = None,
+                          block: int = 4096) -> jnp.ndarray:
+    return _pairwise_euclidean_impl(x, y, squared=True, block=block)
+
+
+def _pairwise_euclidean_impl(x, y=None, squared=False, block=4096):
+    self_dist = y is None
+    y = x if y is None else y
+    x = jnp.asarray(x, jnp.float32)
+    y = jnp.asarray(y, jnp.float32)
+    y_sq = jnp.sum(y * y, axis=1)
+    n = x.shape[0]
+    bs = _block_rows(n, block)
+    if bs == n:
+        d = _euclidean_block(x, y, y_sq, squared)
+    else:
+        out = []
+        for start in range(0, n, bs):
+            xb = x[start:start + bs]
+            out.append(_euclidean_block(xb, y, y_sq, squared))
+        d = jnp.concatenate(out, axis=0)
+    if self_dist:
+        # The Gram trick leaves O(eps * ||x||^2) residue on the diagonal
+        d = d * (1.0 - jnp.eye(n, dtype=d.dtype))
+    return d
+
+
+@jax.jit
+def _cosine_dist(x):
+    xn = x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    return jnp.clip(1.0 - xn @ xn.T, 0.0, 2.0)
+
+
+@jax.jit
+def _correlation_dist(x):
+    xc = x - jnp.mean(x, axis=1, keepdims=True)
+    xn = xc / jnp.maximum(jnp.linalg.norm(xc, axis=1, keepdims=True), 1e-12)
+    return jnp.clip(1.0 - xn @ xn.T, 0.0, 2.0)
+
+
+@jax.jit
+def _corrcoef_similarity(x):
+    """Row-row Pearson correlation matrix (np.corrcoef semantics)."""
+    xc = x - jnp.mean(x, axis=1, keepdims=True)
+    norm = jnp.maximum(jnp.linalg.norm(xc, axis=1, keepdims=True), 1e-12)
+    xn = xc / norm
+    return xn @ xn.T
+
+
+def _rank_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """Average ranks per row (scipy.stats.rankdata method='average')."""
+    def rank1(row):
+        order = jnp.argsort(row)
+        ranks = jnp.empty_like(order).at[order].set(
+            jnp.arange(1, row.shape[0] + 1))
+        ranks = ranks.astype(jnp.float32)
+        # average ties: for each element, mean rank over equal values
+        eq = row[:, None] == row[None, :]
+        return (eq @ ranks) / jnp.sum(eq, axis=1)
+    # tie-averaging is O(F^2) per row; fine for F up to a few thousand,
+    # beyond that ties are vanishingly rare in continuous data — skip them.
+    if x.shape[1] <= 4096:
+        return jax.vmap(rank1)(x)
+    order = jnp.argsort(x, axis=1)
+    ranks = jnp.empty_like(order)
+    ranks = jnp.take_along_axis(
+        jnp.broadcast_to(jnp.arange(1, x.shape[1] + 1), x.shape),
+        jnp.argsort(order, axis=1), axis=1)
+    return ranks.astype(jnp.float32)
+
+
+def pairwise_distance(x, metric: str = 'euclidean', block: int = 4096):
+    """N x N distance matrix for one dataset (device for hot metrics)."""
+    if metric in ('euclidean', 'l2'):
+        return _pairwise_euclidean_impl(x, squared=False, block=block)
+    if metric == 'sqeuclidean':
+        return _pairwise_euclidean_impl(x, squared=True, block=block)
+    if metric == 'cosine':
+        return _cosine_dist(jnp.asarray(x, jnp.float32))
+    if metric == 'correlation':
+        return _correlation_dist(jnp.asarray(x, jnp.float32))
+    if metric in _HOST_FALLBACK_METRICS:
+        from sklearn.metrics.pairwise import pairwise_distances
+        return jnp.asarray(
+            pairwise_distances(np.asarray(x), metric=metric), jnp.float32)
+    raise ValueError(f'Unknown metric {metric!r}')
+
+
+def _knn_graph(dist: np.ndarray, k: int) -> 'np.ndarray':
+    """Symmetric kNN distance graph from a dense distance matrix."""
+    n = dist.shape[0]
+    idx = np.argpartition(dist, min(k + 1, n - 1), axis=1)[:, :k + 1]
+    graph = np.zeros_like(dist)
+    rows = np.repeat(np.arange(n), idx.shape[1])
+    cols = idx.ravel()
+    graph[rows, cols] = dist[rows, cols]
+    np.fill_diagonal(graph, 0)
+    graph = np.maximum(graph, graph.T)
+    return graph
+
+
+def geodesic_distances(data: np.ndarray, kmax: int = 40,
+                       kmin: int = 5, kstep: int = 5) -> np.ndarray:
+    """Geodesic (kNN-graph shortest-path) distances.
+
+    Mirrors unioncom.utils.geodesic_distances semantics (imported at
+    jamie/jamie.py:19-23, used at :851-857): grow k from kmin by kstep until
+    the kNN graph is connected (capped at kmax); then all-pairs shortest
+    path. The dense pairwise Euclidean base matrix is computed on device;
+    graph connectivity + Dijkstra run on host scipy.
+    """
+    from scipy.sparse import csr_matrix
+    from scipy.sparse.csgraph import connected_components, shortest_path
+
+    dist = np.asarray(pairwise_distance(data, 'euclidean'))
+    n = dist.shape[0]
+    if n == 1:
+        return np.zeros((1, 1), np.float32)
+    graph = None
+    for k in range(kmin, max(kmax, kmin) + 1, kstep):
+        graph = _knn_graph(dist, min(k, n - 1))
+        n_comp, _ = connected_components(csr_matrix(graph), directed=False)
+        if n_comp == 1:
+            break
+    else:
+        # Still disconnected at kmax: bridge components at their closest pair
+        from ..nn_funcs import connect_graph
+        graph = connect_graph(graph, dist)
+    sp = shortest_path(csr_matrix(graph), method='D', directed=False)
+    # Unreachable pairs (shouldn't happen post-connect) -> max finite distance
+    finite_max = np.nanmax(np.where(np.isinf(sp), np.nan, sp))
+    sp = np.where(np.isinf(sp), finite_max, sp)
+    return sp.astype(np.float32)
+
+
+def dataset_distance_matrix(data, distance_mode: str = 'euclidean',
+                            kmax: int = 40) -> np.ndarray:
+    """Distance matrix dispatch, matching compute_distances' modes
+    (jamie/jamie.py:851-885)."""
+    data = np.asarray(data)
+    if distance_mode == 'geodesic':
+        return geodesic_distances(data, kmax=kmax)
+    if distance_mode == 'spearman':
+        if data.shape[0] == 1:
+            return np.zeros((1, 1), np.float32)
+        ranks = _rank_rows(jnp.asarray(data, jnp.float32))
+        sim = _corrcoef_similarity(ranks)
+        sim_np = np.asarray(sim)
+        if np.isnan(sim_np).any():
+            raise ValueError(
+                'Data is not well conditioned for spearman method '
+                '(rank correlation returned nan)')
+        return ((1.0 - sim_np) / 2.0).astype(np.float32)
+    if distance_mode == 'pearson':
+        if data.shape[0] == 1:
+            return np.zeros((1, 1), np.float32)
+        sim = np.asarray(_corrcoef_similarity(jnp.asarray(data, jnp.float32)))
+        return ((1.0 - sim) / 2.0).astype(np.float32)
+    return np.asarray(pairwise_distance(data, metric=distance_mode))

@@ -1,0 +1,181 @@
+"""Invertible preprocessing: PCA projection + fit-sample standardization.
+
+Reference parity: `preclass` (jamie/utilities.py:654-678) wired through
+`project_jamie` (jamie/jamie.py:434-469) — optional per-modality PCA to
+`pca_dim` (auto-clamped to data size) followed by standardization against the
+*fit sample's* mean/std with NaN -> 0; fully invertible. The reference stores
+transform closures on the pickled model (jamie/model.py:133-141); here the
+state is plain arrays (components, means, stds) so checkpoints carry no code.
+
+TPU-first: PCA is computed on device via the Gram-matrix route — for
+cells << features (the single-cell regime, e.g. 9k x 242k) an N x N eigh
+plus matmuls, all MXU work; for features <= cells the F x F covariance eigh.
+Matches sklearn PCA's projection semantics (centered, components from SVD).
+"""
+
+from __future__ import annotations
+
+import warnings
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _pca_fit(X: jnp.ndarray, n_components: int):
+    """Return (mean, components[k, F]) like sklearn PCA."""
+    n, f = X.shape
+    mean = jnp.mean(X, axis=0)
+    Xc = X - mean
+    if f > n:
+        # Gram route: Xc Xc^T = U S^2 U^T; components = S^-1 U^T Xc
+        G = Xc @ Xc.T
+        w, U = jnp.linalg.eigh(G)           # ascending
+        w = w[::-1][:n_components]
+        U = U[:, ::-1][:, :n_components]
+        s = jnp.sqrt(jnp.maximum(w, 1e-12))
+        comps = (U / s).T @ Xc              # (k, F)
+    else:
+        C = Xc.T @ Xc
+        w, V = jnp.linalg.eigh(C)
+        V = V[:, ::-1][:, :n_components]
+        comps = V.T
+        U = Xc @ V                           # for sign convention
+        s = None
+    # Deterministic signs (sklearn svd_flip style: largest-|.| of each
+    # component made positive)
+    signs = jnp.sign(comps[jnp.arange(comps.shape[0]),
+                           jnp.argmax(jnp.abs(comps), axis=1)])
+    signs = jnp.where(signs == 0, 1.0, signs)
+    comps = comps * signs[:, None]
+    return mean, comps
+
+
+class PCA:
+    """Minimal sklearn-compatible PCA running on device."""
+
+    def __init__(self, n_components: int):
+        self.n_components = int(n_components)
+        self.mean_: Optional[np.ndarray] = None
+        self.components_: Optional[np.ndarray] = None
+
+    def fit(self, X):
+        X = jnp.asarray(np.asarray(X), jnp.float32)
+        mean, comps = _pca_fit(X, self.n_components)
+        self.mean_ = np.asarray(mean)
+        self.components_ = np.asarray(comps)
+        return self
+
+    def transform(self, X):
+        X = np.asarray(X, np.float32)
+        return np.asarray(
+            (jnp.asarray(X) - jnp.asarray(self.mean_))
+            @ jnp.asarray(self.components_).T)
+
+    def fit_transform(self, X):
+        return self.fit(X).transform(X)
+
+    def inverse_transform(self, Y):
+        Y = np.asarray(Y, np.float32)
+        return np.asarray(
+            jnp.asarray(Y) @ jnp.asarray(self.components_)
+            + jnp.asarray(self.mean_))
+
+
+class Preprocessor:
+    """preclass-equivalent: [PCA ->] standardize by fit-sample stats.
+
+    axis: None standardizes by the scalar mean/std of the whole transformed
+    sample (the PCA path, jamie.py:453); 0 standardizes per feature (the
+    no-PCA path, jamie.py:455,462-465).
+    """
+
+    def __init__(self, sample: Optional[np.ndarray] = None,
+                 pca: Optional[PCA] = None, axis: Optional[int] = None):
+        self.pca = pca
+        self.axis = axis
+        if sample is not None:
+            sample = np.asarray(sample, np.float32)
+            self.sample_mean = np.asarray(sample.mean(axis), np.float32)
+            with warnings.catch_warnings():
+                warnings.simplefilter('ignore')
+                self.sample_std = np.asarray(sample.std(axis), np.float32)
+        else:
+            self.sample_mean = None
+            self.sample_std = None
+
+    @classmethod
+    def fit(cls, data: np.ndarray, pca_dim: Optional[int] = None,
+            method: str = 'pca') -> 'Preprocessor':
+        """Build the per-modality preprocessor exactly as project_jamie does
+        (jamie/jamie.py:436-465): PCA to pca_dim (clamped, with warning) then
+        scalar standardization; or per-feature standardization if no PCA."""
+        data = np.asarray(data, np.float32)
+        if pca_dim is not None:
+            dim = int(pca_dim)
+            if min(*data.shape) < dim:
+                warnings.warn(
+                    f'PCA dim must be lower than {min(*data.shape)}, found '
+                    f'{dim}, adjusting to compensate.')
+                dim = min(*data.shape)
+            if method != 'pca':
+                warnings.warn(
+                    f'model_pca={method!r} is gated in the TPU build '
+                    '(umap/tsne unavailable); falling back to pca.')
+            pca = PCA(n_components=dim)
+            sample = pca.fit_transform(data)
+            return cls(sample, pca=pca, axis=None)
+        return cls(data, axis=0)
+
+    def transform(self, X):
+        out = np.asarray(X, np.float32)
+        if self.pca is not None:
+            out = self.pca.transform(out)
+        out = out - self.sample_mean
+        with warnings.catch_warnings():
+            warnings.simplefilter('ignore')
+            out = out / self.sample_std
+        out[np.isnan(out)] = 0
+        return out
+
+    def inverse_transform(self, X):
+        out = np.asarray(X, np.float32)
+        out = out * self.sample_std
+        out = out + self.sample_mean
+        if self.pca is not None:
+            out = self.pca.inverse_transform(out)
+        return out
+
+    # --- checkpointable state (no pickled closures) ---
+    def to_dict(self) -> dict:
+        d = {
+            'axis': -1 if self.axis is None else self.axis,
+            'sample_mean': self.sample_mean,
+            'sample_std': self.sample_std,
+        }
+        if self.pca is not None:
+            d['pca_mean'] = self.pca.mean_
+            d['pca_components'] = self.pca.components_
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> 'Preprocessor':
+        self = cls.__new__(cls)
+        axis = int(d['axis'])
+        self.axis = None if axis == -1 else axis
+        self.sample_mean = np.asarray(d['sample_mean'])
+        self.sample_std = np.asarray(d['sample_std'])
+        if 'pca_components' in d:
+            pca = PCA(n_components=int(np.asarray(d['pca_components']).shape[0]))
+            pca.mean_ = np.asarray(d['pca_mean'])
+            pca.components_ = np.asarray(d['pca_components'])
+            self.pca = pca
+        else:
+            self.pca = None
+        return self
+
+
+def identity(x):
+    """Identity preprocessing (jamie/utilities.py:48-50)."""
+    return x

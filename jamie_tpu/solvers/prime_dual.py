@@ -1,0 +1,153 @@
+"""Prime–dual correspondence solver (the F-estimator).
+
+Reference parity: `JAMIE.Prime_Dual` (jamie/jamie.py:314-414) — UnionCom-
+style prime–dual iteration with hand-rolled Adam moments estimating the
+cross-dataset matching matrix F from two intra-dataset distance matrices:
+nonnegativity projection, slack variable S, dual variables Mu/Lambda, and an
+adaptive scale `a = tr(Kx F Ky F^T) / tr(Kx Kx)` updated after `delay`
+iterations.
+
+This is hot loop #1 of the whole pipeline (60-90% of reference wall time at
+N >= 3.5k cells, SURVEY.md section 6). TPU-first rewrite:
+
+- the entire epoch_pd loop runs on device inside one jitted `lax.fori_loop`
+  per log chunk; the host only sees (err, alpha) telemetry at log_pd points;
+- of the reference's eight N x N matmuls per iteration, four are broadcasts
+  in disguise (products with all-ones matrices/vectors, jamie.py:360-371)
+  and are computed as row/col sums; the adaptive-`a` trace
+  (jamie.py:399-401) reuses the F@Ky product carried into the next
+  iteration, so one iteration costs exactly 4 MXU matmuls:
+      inner = F^T (F Ky);  FKy inner;  F'Ky;  Kx (F'Ky)
+- matmul precision is configurable ('default' rides the MXU in bf16x3 / f32
+  accumulation; 'highest' for strict parity checks).
+"""
+
+from __future__ import annotations
+
+import warnings
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PRECISIONS = {
+    'default': None,
+    'high': jax.lax.Precision.HIGH,
+    'highest': jax.lax.Precision.HIGHEST,
+    'float32': jax.lax.Precision.HIGHEST,
+    'bfloat16': jax.lax.Precision.DEFAULT,
+}
+
+
+def _mm(a, b, precision):
+    return jnp.matmul(a, b, precision=precision)
+
+
+@partial(jax.jit, static_argnames=('n_iters', 'rho', 'epsilon', 'delay',
+                                   'precision_name'))
+def _run_chunk(carry, i0, Kx, Ky, tr_kx_kx, n_iters: int, rho: float,
+               epsilon: float, delay: int, precision_name: str):
+    precision = _PRECISIONS[precision_name]
+    pho1, pho2, dlt = 0.9, 0.999, 1e-7  # 10e-8 in the reference (jamie.py:349)
+
+    def step(t, carry):
+        F, S, Mu, Lambda, M1, M2, a, FKy, KxFKy = carry
+        i = i0 + t + 1  # 1-based Adam timestep (incremented pre-update, :374)
+
+        inner = _mm(F.T, FKy, precision)            # (n, n)
+        grad = (
+            4.0 * _mm(FKy, inner, precision)
+            - 4.0 * a * KxFKy
+            + Mu                                     # Mu @ In^T broadcast
+            + Lambda.T                               # Im @ Lambda^T broadcast
+            + rho * (
+                jnp.sum(F, axis=1, keepdims=True)    # F @ Inn (row sums)
+                + jnp.sum(F, axis=0, keepdims=True)  # Im^T F broadcast
+                + (S - 2.0).T                        # (S - 2 In)^T broadcast
+            )
+        )
+
+        M1 = pho1 * M1 + (1 - pho1) * grad
+        M2 = pho2 * M2 + (1 - pho2) * grad * grad
+        i_f = i.astype(jnp.float32)
+        hat1 = M1 / (1 - jnp.power(pho1, i_f))
+        hat2 = M2 / (1 - jnp.power(pho2, i_f))
+        g = hat1 / (jnp.sqrt(hat2) + dlt)
+        F_tmp = jnp.maximum(F - g, 0.0)
+        F = (1 - epsilon) * F + epsilon * F_tmp
+
+        col_sum = jnp.sum(F, axis=0)[:, None]        # F^T @ Im
+        grad_s = Lambda + rho * (col_sum - 1.0 + S)
+        S = (1 - epsilon) * S + epsilon * jnp.maximum(S - grad_s, 0.0)
+        Mu = Mu + epsilon * (jnp.sum(F, axis=1, keepdims=True) - 1.0)
+        Lambda = Lambda + epsilon * (col_sum - 1.0 + S)
+
+        # Refresh carried products with the updated F; they serve both the
+        # adaptive-a trace below and the next iteration's gradient.
+        FKy = _mm(F, Ky, precision)
+        KxFKy = _mm(Kx, FKy, precision)
+        # tr(Kx (F Ky) F^T) = sum(Kx @ (F Ky) * F)
+        a_new = jnp.sum(KxFKy * F) / tr_kx_kx
+        a = jnp.where(i >= delay, a_new, a)
+        return (F, S, Mu, Lambda, M1, M2, a, FKy, KxFKy)
+
+    return jax.lax.fori_loop(0, n_iters, step, carry)
+
+
+def prime_dual(
+    Kx: np.ndarray,
+    Ky: np.ndarray,
+    dx: int,
+    dy: int,
+    epoch_pd: int = 2000,
+    rho: float = 10.0,
+    epsilon: float = 0.001,
+    delay: int = 0,
+    log_pd: int = 500,
+    verbose: bool = True,
+    precision: str = 'default',
+) -> np.ndarray:
+    """Estimate the (m, n) correspondence matrix F.
+
+    Kx, Ky: intra-dataset distance matrices; dx, dy: raw feature dims used
+    for the initial scale a = sqrt(dy/dx) (jamie.py:335).
+    """
+    if Kx.shape == (1, 1) and Ky.shape == (1, 1):
+        warnings.warn('1x1 distance matrix, escaping...')
+        return np.ones((1, 1), np.float32)
+
+    N = int(max(Kx.shape[0], Ky.shape[0]))
+    Kx = jnp.asarray(np.asarray(Kx), jnp.float32) / N
+    Ky = jnp.asarray(np.asarray(Ky), jnp.float32) / N
+    m, n = Kx.shape[0], Ky.shape[0]
+    tr_kx_kx = jnp.sum(Kx * Kx.T)
+
+    carry = (
+        jnp.zeros((m, n), jnp.float32),   # F
+        jnp.zeros((n, 1), jnp.float32),   # S
+        jnp.zeros((m, 1), jnp.float32),   # Mu
+        jnp.zeros((n, 1), jnp.float32),   # Lambda
+        jnp.zeros((m, n), jnp.float32),   # first moment
+        jnp.zeros((m, n), jnp.float32),   # second moment
+        jnp.asarray(np.sqrt(dy / dx), jnp.float32),  # a
+        jnp.zeros((m, n), jnp.float32),   # FKy
+        jnp.zeros((m, n), jnp.float32),   # Kx FKy
+    )
+
+    i = 0
+    log_every = max(int(log_pd), 1)
+    while i < epoch_pd:
+        chunk = min(log_every, epoch_pd - i)
+        carry = _run_chunk(carry, jnp.asarray(i, jnp.int32), Kx, Ky,
+                           tr_kx_kx, chunk, float(rho), float(epsilon),
+                           int(delay), precision)
+        i += chunk
+        if verbose and i % log_every == 0:
+            F, _, _, _, _, _, a, FKy, _ = carry
+            norm2 = jnp.linalg.norm(a * Kx - FKy @ F.T)
+            print('epoch:[{:d}/{:d}] err:{:.4f} alpha:{:.4f}'.format(
+                i, epoch_pd, float(norm2), float(a)))
+
+    return np.asarray(carry[0], np.float32)

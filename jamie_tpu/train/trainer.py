@@ -1,0 +1,327 @@
+"""Scan-compiled training loop for the coupled VAE.
+
+Reference parity: the body of `project_jamie` (jamie/jamie.py:546-804) —
+per-epoch minibatch sampling in three regimes, per-batch row-normalization of
+P/F subsets, `PF_Ratio`-weighted correspondence aggregation, the 4-term loss,
+global-norm-1 gradient clipping, Adam(model_lr), per-batch or per-epoch
+stepping (`batch_step`, jamie.py:736-749), early stopping after `min_epochs`
+on `max_steps_without_increment` non-improving steps (jamie.py:777-792), and
+the final full-dataset eval-mode embedding with column-normalized
+correspondence (jamie.py:794-799).
+
+TPU-first design: the whole dataset stays HBM-resident; an epoch is a
+`lax.scan` over fixed-shape minibatch steps, and epochs are scanned in chunks
+inside one jitted function — the host only sees per-epoch loss telemetry at
+chunk boundaries, where it applies logging and the (already device-computed)
+early-stop decision. Once the stop flag latches, remaining epochs in the
+chunk are skipped via `lax.cond` so a late stop costs ~nothing. On a mesh,
+batches are sharded over the `data` axis and gradient psums ride ICI
+implicitly through pjit.
+"""
+
+from __future__ import annotations
+
+import math
+import warnings
+import time
+from functools import partial
+from typing import Any, Dict, List, Optional, Sequence
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+from ..config import JamieConfig
+from ..core.dtypes import resolve_dtype
+from .losses import (
+    LOSS_NAMES, col_normalize, f_reconstruction_loss, kl_anneal,
+    kl_divergence, latent_consistency_loss, reconstruction_loss,
+    row_normalize,
+)
+from .sampling import detect_sampling_method, make_sampler
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jax.Array
+    epoch: jax.Array                 # int32, next epoch to run
+    best_running_loss: jax.Array     # float32
+    streak: jax.Array                # int32
+    stopped: jax.Array               # bool
+
+
+class JamieTrainer:
+    """Owns the jitted train/eval functions for one fit."""
+
+    def __init__(
+        self,
+        config: JamieConfig,
+        model,
+        dataset: Sequence[np.ndarray],
+        P: np.ndarray,
+        F: np.ndarray,
+        mesh: Optional[Mesh] = None,
+    ):
+        assert len(dataset) == 2, 'Currently only compatible with 2 modalities.'
+        self.config = config
+        self.model = model
+        self.mesh = mesh
+        cdtype = resolve_dtype(config.compute_dtype)
+
+        self.rows = [int(d.shape[0]) for d in dataset]
+        self.cols = [int(d.shape[1]) for d in dataset]
+
+        self.data = [jnp.asarray(np.asarray(d), dtype=jnp.float32) for d in dataset]
+        self.P = jnp.asarray(np.asarray(P), dtype=jnp.float32)
+        self.F = jnp.asarray(np.asarray(F), dtype=jnp.float32)
+
+        # Batch-size setup, from UnionCom via jamie.py:511-514
+        self.batch_size = int(config.batch_size)
+        self.len_dataloader = int(max(self.rows) / self.batch_size)
+        if self.len_dataloader == 0:
+            self.len_dataloader = 1
+            self.batch_size = int(max(self.rows))
+
+        # Sampling regime (jamie.py:517-534)
+        P_np = np.asarray(P)
+        self.sampling_method = detect_sampling_method(P_np)
+        corr_pairs = None
+        if self.sampling_method == 'hybrid':
+            corr_pairs = np.argwhere(P_np > 0)
+        self.sampler = make_sampler(
+            self.sampling_method, self.rows, self.batch_size,
+            corr_pairs=corr_pairs, true_ratio=config.true_ratio)
+
+        self.pf_ratio = 1.0 if config.PF_Ratio is None else float(config.PF_Ratio)
+        if config.loss_weights is not None:
+            assert len(config.loss_weights) == len(LOSS_NAMES), (
+                f'There are {len(LOSS_NAMES)} losses and '
+                f'{len(config.loss_weights)} weights')
+            self.loss_weights = jnp.asarray(config.loss_weights, jnp.float32)
+        else:
+            self.loss_weights = jnp.ones((len(LOSS_NAMES),), jnp.float32)
+
+        # Grad-clip 1.0 then Adam, matching torch clip->step (jamie.py:736-742)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adam(config.model_lr, b1=0.9, b2=0.999, eps=1e-8),
+        )
+
+        if mesh is not None:
+            self._batch_sharding = NamedSharding(mesh, PartitionSpec('data', None))
+        else:
+            self._batch_sharding = None
+        self._compute_dtype = cdtype
+        self._chunk_fn_cache: Dict[int, Any] = {}
+
+    # ------------------------------------------------------------------ init
+    def init_state(self, seed: Optional[int] = None) -> TrainState:
+        seed = self.config.manual_seed if seed is None else seed
+        root = jax.random.PRNGKey(seed)
+        k_init, k_drop, k_rep, k_run = jax.random.split(root, 4)
+        dummy = [jnp.zeros((2, c), jnp.float32) for c in self.cols]
+        dummy_corr = jnp.eye(2, dtype=jnp.float32)
+        variables = self.model.init(
+            {'params': k_init, 'dropout': k_drop, 'reparam': k_rep},
+            dummy, dummy_corr, train=True)
+        params = variables['params']
+        batch_stats = variables.get('batch_stats', {})
+        opt_state = self.tx.init(params)
+        return TrainState(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+            rng=k_run,
+            epoch=jnp.asarray(0, jnp.int32),
+            best_running_loss=jnp.asarray(np.inf, jnp.float32),
+            streak=jnp.asarray(0, jnp.int32),
+            stopped=jnp.asarray(False, jnp.bool_),
+        )
+
+    # ----------------------------------------------------------- batch step
+    def _constrain(self, x):
+        if self._batch_sharding is not None:
+            return jax.lax.with_sharding_constraint(x, self._batch_sharding)
+        return x
+
+    def _batch_loss_and_grads(self, params, batch_stats, key, epoch_idx):
+        cfg = self.config
+        k_s, k_d, k_r = jax.random.split(key, 3)
+        idx0, idx1 = self.sampler(k_s)
+        x0 = self._constrain(jnp.take(self.data[0], idx0, axis=0))
+        x1 = self._constrain(jnp.take(self.data[1], idx1, axis=0))
+        P_sub = jnp.take(jnp.take(self.P, idx0, axis=0), idx1, axis=1)
+        F_sub = jnp.take(jnp.take(self.F, idx0, axis=0), idx1, axis=1)
+        Pn = row_normalize(P_sub)
+        Fn = row_normalize(F_sub)
+        corr = self._constrain(self.pf_ratio * Pn + (1 - self.pf_ratio) * Fn)
+
+        def loss_fn(p):
+            outputs, mutated = self.model.apply(
+                {'params': p, 'batch_stats': batch_stats},
+                [x0, x1], corr, train=True,
+                rngs={'dropout': k_d, 'reparam': k_r},
+                mutable=['batch_stats'])
+            zs, combined, x_hat, mus, logvars = outputs
+            kl = (32e-3
+                  * kl_anneal(epoch_idx, cfg.min_epochs, cfg.epoch_DNN)
+                  * kl_divergence(mus, logvars))
+            rec = reconstruction_loss(x_hat, [x0, x1])
+            cos = latent_consistency_loss(zs, combined, cfg.dist_method)
+            fl = f_reconstruction_loss(combined[0], combined[1], Fn)
+            vec = jnp.stack([kl, rec, cos, fl]) * self.loss_weights
+            return jnp.sum(vec), (mutated['batch_stats'], vec)
+
+        (loss, (new_bs, vec)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        return loss, vec, new_bs, grads
+
+    # ----------------------------------------------------------- epoch body
+    def _epoch_body(self, state: TrainState, epoch_idx):
+        cfg = self.config
+
+        def run(state):
+            new_rng, key_epoch = jax.random.split(state.rng)
+            batch_keys = jax.random.split(key_epoch, self.len_dataloader)
+
+            if cfg.batch_step:
+                def batch_body(carry, key):
+                    params, bstats, opt = carry
+                    loss, vec, bstats, grads = self._batch_loss_and_grads(
+                        params, bstats, key, epoch_idx)
+                    updates, opt = self.tx.update(grads, opt, params)
+                    params = optax.apply_updates(params, updates)
+                    return (params, bstats, opt), (loss, vec)
+
+                (params, bstats, opt), (batch_losses, vecs) = jax.lax.scan(
+                    batch_body,
+                    (state.params, state.batch_stats, state.opt_state),
+                    batch_keys)
+            else:
+                zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+
+                def batch_body(carry, key):
+                    params, bstats, acc = carry
+                    loss, vec, bstats, grads = self._batch_loss_and_grads(
+                        params, bstats, key, epoch_idx)
+                    acc = jax.tree.map(jnp.add, acc, grads)
+                    return (params, bstats, acc), (loss, vec)
+
+                (params, bstats, acc), (batch_losses, vecs) = jax.lax.scan(
+                    batch_body,
+                    (state.params, state.batch_stats, zero_grads),
+                    batch_keys)
+                updates, opt = self.tx.update(acc, state.opt_state, params)
+                params = optax.apply_updates(params, updates)
+
+            epoch_loss = jnp.sum(batch_losses) / self.len_dataloader
+            best_batch_loss = jnp.min(batch_losses)
+            active = best_batch_loss if cfg.batch_step else epoch_loss
+
+            # Early stopping bookkeeping (jamie.py:777-792)
+            past_min = epoch_idx > cfg.min_epochs
+            improved = (state.best_running_loss - active) > cfg.min_increment
+            new_best = jnp.where(past_min & improved, active,
+                                 state.best_running_loss)
+            new_streak = jnp.where(
+                past_min, jnp.where(improved, 0, state.streak + 1), state.streak)
+            stop = past_min & (new_streak >= cfg.max_steps_without_increment) \
+                & bool(cfg.use_early_stop)
+
+            new_state = TrainState(
+                params=params, batch_stats=bstats, opt_state=opt,
+                rng=new_rng, epoch=epoch_idx + 1,
+                best_running_loss=new_best, streak=new_streak, stopped=stop)
+            # History records the last batch's weighted losses (jamie.py:752-761)
+            return new_state, (epoch_loss, vecs[-1], stop,
+                               jnp.asarray(True, jnp.bool_))
+
+        def skip(state):
+            nanvec = jnp.full((len(LOSS_NAMES),), jnp.nan, jnp.float32)
+            return state, (jnp.asarray(jnp.nan, jnp.float32), nanvec,
+                           jnp.asarray(True, jnp.bool_),
+                           jnp.asarray(False, jnp.bool_))
+
+        return jax.lax.cond(state.stopped, skip, run, state)
+
+    def _chunk_fn(self, chunk: int):
+        if chunk not in self._chunk_fn_cache:
+            def body(state):
+                epochs = state.epoch + jnp.arange(chunk, dtype=jnp.int32)
+                return jax.lax.scan(self._epoch_body, state, epochs)
+            self._chunk_fn_cache[chunk] = jax.jit(body)
+        return self._chunk_fn_cache[chunk]
+
+    # ------------------------------------------------------------------ fit
+    def fit(self, state: Optional[TrainState] = None,
+            seed: Optional[int] = None) -> TrainState:
+        cfg = self.config
+        if state is None:
+            state = self.init_state(seed)
+
+        self.loss_history: Dict[str, List[float]] = {n: [] for n in LOSS_NAMES}
+        self.epoch_losses: List[float] = []
+        self.epochs_run = 0
+        t0 = time.perf_counter()
+
+        epoch = int(state.epoch)
+        while epoch < cfg.epoch_DNN:
+            chunk = min(cfg.epoch_chunk, cfg.epoch_DNN - epoch)
+            state, (ep_losses, loss_mat, stops, ran) = \
+                self._chunk_fn(chunk)(state)
+            ep_losses = np.asarray(ep_losses)
+            loss_mat = np.asarray(loss_mat)
+            stops = np.asarray(stops)
+            valid = np.asarray(ran)
+
+            if cfg.record_loss:
+                for j, name in enumerate(LOSS_NAMES):
+                    self.loss_history[name].extend(loss_mat[valid, j].tolist())
+            self.epoch_losses.extend(ep_losses[valid].tolist())
+            self.epochs_run += int(valid.sum())
+            if valid.any() and not np.isfinite(ep_losses[valid]).all():
+                warnings.warn(
+                    'Non-finite training loss encountered; if this persists '
+                    'your lr is likely too high (reference guidance, '
+                    'jamie/model.py:236-238).')
+
+            for k in range(chunk):
+                if not valid[k]:
+                    break
+                e = epoch + k
+                if (e + 1) % cfg.log_debug == 0 and cfg.debug:
+                    print(f'Epoch: {e + 1:d} - ' + '  '.join(
+                        f'{LOSS_NAMES[j]}: {loss_mat[k, j]:.4f}'
+                        for j in range(len(LOSS_NAMES))))
+                if (e + 1) % cfg.log_DNN == 0:
+                    print(f'epoch:[{e + 1:d}/{cfg.epoch_DNN}]: '
+                          f'loss:{ep_losses[k]:4f}')
+            epoch += chunk
+            if bool(stops[-1]):
+                break
+
+        self.fit_seconds = time.perf_counter() - t0
+        return state
+
+    # ----------------------------------------------------------- inference
+    def final_corr(self):
+        """Column-normalized correspondence for the full-set embed
+        (jamie.py:795-797)."""
+        corr_P = col_normalize(self.P)
+        corr_F = col_normalize(self.F)
+        return self.pf_ratio * corr_P + (1 - self.pf_ratio) * corr_F
+
+    def final_embed(self, state: TrainState) -> List[np.ndarray]:
+        """Eval-mode full-dataset forward; returns the sampled-latent (mu)
+        embeddings per modality (jamie.py:794-799)."""
+        variables = {'params': state.params, 'batch_stats': state.batch_stats}
+        outputs = self.model.apply(variables, self.data, self.final_corr(),
+                                   train=False)
+        zs = outputs[0]
+        return [np.asarray(z, dtype=np.float32) for z in zs]

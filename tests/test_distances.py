@@ -1,0 +1,77 @@
+"""Distance-matrix parity against scipy/sklearn references."""
+
+import numpy as np
+import pytest
+from scipy import stats
+from sklearn.metrics.pairwise import pairwise_distances
+
+from jamie_tpu.ops.distances import (
+    dataset_distance_matrix, geodesic_distances, pairwise_distance,
+)
+
+
+@pytest.fixture(scope='module')
+def X():
+    return np.random.RandomState(0).randn(40, 12).astype(np.float32)
+
+
+def test_euclidean_matches_sklearn(X):
+    ours = np.asarray(pairwise_distance(X, 'euclidean'))
+    ref = pairwise_distances(X, metric='euclidean')
+    np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+
+def test_sqeuclidean(X):
+    ours = np.asarray(pairwise_distance(X, 'sqeuclidean'))
+    ref = pairwise_distances(X, metric='sqeuclidean')
+    np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+
+def test_cosine(X):
+    ours = np.asarray(pairwise_distance(X, 'cosine'))
+    ref = pairwise_distances(X, metric='cosine')
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_correlation(X):
+    ours = np.asarray(pairwise_distance(X, 'correlation'))
+    ref = pairwise_distances(X, metric='correlation')
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_host_fallback_metric(X):
+    ours = np.asarray(pairwise_distance(X, 'cityblock'))
+    ref = pairwise_distances(X, metric='cityblock')
+    np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+
+def test_blockwise_equals_direct():
+    X = np.random.RandomState(1).randn(300, 8).astype(np.float32)
+    direct = np.asarray(pairwise_distance(X, 'euclidean', block=4096))
+    blocked = np.asarray(pairwise_distance(X, 'euclidean', block=64))
+    np.testing.assert_allclose(direct, blocked, atol=1e-4)
+
+
+def test_spearman_mode(X):
+    ours = dataset_distance_matrix(X, 'spearman')
+    rho, _ = stats.spearmanr(X, axis=1)
+    ref = (1 - rho) / 2
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_pearson_mode(X):
+    ours = dataset_distance_matrix(X, 'pearson')
+    ref = (1 - np.corrcoef(X)) / 2
+    np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+
+def test_geodesic_connected():
+    """Geodesic >= euclidean, zero diagonal, symmetric, finite."""
+    X = np.random.RandomState(2).randn(60, 5).astype(np.float32)
+    g = geodesic_distances(X, kmax=40)
+    assert g.shape == (60, 60)
+    assert np.isfinite(g).all()
+    np.testing.assert_allclose(np.diag(g), 0, atol=1e-5)
+    np.testing.assert_allclose(g, g.T, atol=1e-4)
+    e = np.asarray(pairwise_distance(X, 'euclidean'))
+    assert (g >= e - 1e-3).all()  # shortest path can't beat straight line

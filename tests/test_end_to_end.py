@@ -1,0 +1,120 @@
+"""End-to-end estimator tests on synthetic paired data.
+
+These pin down the behaviors the reference's notebooks exercise
+(SURVEY.md section 4): full fit_transform quality (FOSCTTM/LTA), imputation,
+partial priors, save/load round-trip.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from jamie_tpu import JAMIE
+
+FAST = dict(epoch_DNN=400, min_epochs=100, epoch_chunk=100, log_DNN=10_000,
+            batch_size=64, pca_dim=None, distance_mode='euclidean',
+            epoch_pd=300, use_early_stop=False, dropout=0.0)
+
+
+@pytest.fixture(scope='module')
+def fitted(synthetic_pair):
+    data, labels = synthetic_pair
+    jm = JAMIE(**FAST)
+    integrated = jm.fit_transform(dataset=data)
+    return jm, integrated, data, labels
+
+
+def test_integration_quality(fitted):
+    jm, integrated, data, labels = fitted
+    foscttm = jm.test_closer(integrated)
+    assert foscttm < 0.15, f'FOSCTTM too high: {foscttm}'
+    acc = jm.test_LabelTA(integrated, labels)
+    assert acc > 0.8, f'label transfer accuracy too low: {acc}'
+
+
+def test_embeddings_aligned_across_modalities(fitted):
+    jm, integrated, *_ = fitted
+    # matched rows should be much closer than random pairs
+    d_match = np.linalg.norm(integrated[0] - integrated[1], axis=1).mean()
+    rng = np.random.RandomState(0)
+    perm = rng.permutation(len(integrated[1]))
+    d_rand = np.linalg.norm(integrated[0] - integrated[1][perm],
+                            axis=1).mean()
+    assert d_match < 0.5 * d_rand
+
+
+def test_imputation_correlation(fitted):
+    jm, integrated, data, labels = fitted
+    imputed1 = jm.modal_predict(data[0], 0)  # predict modality 1 from 0
+    assert imputed1.shape == data[1].shape
+    r = [np.corrcoef(imputed1[:, j], data[1][:, j])[0, 1]
+         for j in range(data[1].shape[1])]
+    assert np.nanmean(r) > 0.5, f'mean imputation r too low: {np.nanmean(r)}'
+
+
+def test_transform_matches_training_output_shapes(fitted):
+    jm, integrated, data, labels = fitted
+    re = jm.transform(data)
+    assert re[0].shape == integrated[0].shape
+    one = jm.transform_one(data[0], 0)
+    assert one.shape == integrated[0].shape
+
+
+def test_save_load_roundtrip(fitted, tmp_path):
+    jm, integrated, data, labels = fitted
+    path = os.path.join(tmp_path, 'model.npz')
+    jm.save_model(path)
+    jm2 = JAMIE(**FAST)
+    jm2.load_model(path)
+    imp1 = jm.modal_predict(data[0], 0)
+    imp2 = jm2.modal_predict(data[0], 0)
+    np.testing.assert_allclose(imp1, imp2, rtol=1e-5, atol=1e-5)
+    emb1 = jm.transform_one(data[0], 0)
+    emb2 = jm2.transform_one(data[0], 0)
+    np.testing.assert_allclose(emb1, emb2, rtol=1e-5, atol=1e-5)
+
+
+def test_partial_priors_hybrid_path(synthetic_pair):
+    data, labels = synthetic_pair
+    n = data[0].shape[0]
+    rng = np.random.RandomState(0)
+    mask = np.zeros(n)
+    mask[rng.choice(n, int(0.5 * n), replace=False)] = 1
+    jm = JAMIE(P=np.diag(mask), **{**FAST, 'epoch_DNN': 300})
+    integrated = jm.fit_transform(dataset=data)
+    assert jm.sampling_method == 'hybrid'
+    acc = jm.test_LabelTA(integrated, labels)
+    assert acc > 0.6, f'hybrid LTA too low: {acc}'
+
+
+def test_use_f_tilde_false_skips_solver(synthetic_pair):
+    data, labels = synthetic_pair
+    jm = JAMIE(use_f_tilde=False, **FAST)
+    integrated = jm.fit_transform(dataset=data)
+    np.testing.assert_array_equal(jm.match_result[0], 0)
+    assert np.isfinite(integrated[0]).all()
+
+
+def test_precomputed_match_result(synthetic_pair):
+    data, labels = synthetic_pair
+    n = data[0].shape[0]
+    jm = JAMIE(match_result=[np.eye(n, dtype=np.float32)], **FAST)
+    integrated = jm.fit_transform(dataset=data)
+    assert np.isfinite(integrated[0]).all()
+
+
+def test_pca_path(synthetic_pair):
+    data, labels = synthetic_pair
+    jm = JAMIE(**{**FAST, 'pca_dim': (20, 20), 'epoch_DNN': 200})
+    integrated = jm.fit_transform(dataset=data)
+    assert integrated[0].shape == (data[0].shape[0], 32)
+    imputed = jm.modal_predict(data[0], 0)
+    assert imputed.shape == data[1].shape
+
+
+def test_label_dist(fitted):
+    jm, integrated, data, labels = fitted
+    keys, dist = jm.test_label_dist(integrated, labels, verbose=False)
+    assert len(keys) == 2
+    assert dist.shape == (2, 2)

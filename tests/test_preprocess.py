@@ -1,0 +1,83 @@
+"""Preprocessing parity: PCA correctness, preclass round-trips, clamping."""
+
+import numpy as np
+import pytest
+
+from jamie_tpu.preprocess import PCA, Preprocessor
+
+
+def test_pca_matches_sklearn_subspace():
+    rng = np.random.RandomState(0)
+    X = rng.randn(50, 20).astype(np.float32)
+    X[:, :5] *= 10  # give the spectrum structure
+    ours = PCA(n_components=5).fit(X)
+    from sklearn.decomposition import PCA as SkPCA
+    sk = SkPCA(n_components=5).fit(X)
+    # Components should span the same subspace (signs/rotations may differ
+    # only by sign here since eigenvalues are distinct)
+    for i in range(5):
+        dot = abs(np.dot(ours.components_[i], sk.components_[i]))
+        assert dot > 0.99, f'component {i} mismatch: |cos|={dot}'
+
+
+def test_pca_gram_route_tall_features():
+    """features >> samples triggers the Gram route."""
+    rng = np.random.RandomState(1)
+    X = rng.randn(30, 500).astype(np.float32)
+    pca = PCA(n_components=10).fit(X)
+    Y = pca.transform(X)
+    assert Y.shape == (30, 10)
+    # Projection variance should be sorted descending
+    var = Y.var(axis=0)
+    assert np.all(np.diff(var) <= 1e-3)
+    # Round trip error below total variance
+    Xr = pca.inverse_transform(Y)
+    assert np.mean((Xr - X) ** 2) < X.var()
+
+
+def test_preprocessor_roundtrip_with_pca():
+    rng = np.random.RandomState(2)
+    X = rng.randn(40, 30).astype(np.float32) * 5 + 3
+    pre = Preprocessor.fit(X, pca_dim=30)
+    T = pre.transform(X)
+    Xr = pre.inverse_transform(T)
+    np.testing.assert_allclose(Xr, X, atol=1e-2)
+
+
+def test_preprocessor_roundtrip_standardize_only():
+    rng = np.random.RandomState(3)
+    X = rng.randn(40, 7).astype(np.float32) * 2 + 1
+    pre = Preprocessor.fit(X, pca_dim=None)
+    T = pre.transform(X)
+    np.testing.assert_allclose(T.mean(0), 0, atol=1e-4)
+    np.testing.assert_allclose(T.std(0), 1, atol=1e-4)
+    Xr = pre.inverse_transform(T)
+    np.testing.assert_allclose(Xr, X, atol=1e-4)
+
+
+def test_preprocessor_nan_guard():
+    """Constant features give std=0 -> NaN -> 0 (utilities.py:665-669)."""
+    X = np.ones((10, 3), np.float32)
+    X[:, 1] = np.arange(10)
+    pre = Preprocessor.fit(X, pca_dim=None)
+    T = pre.transform(X)
+    assert np.isfinite(T).all()
+    np.testing.assert_allclose(T[:, 0], 0)
+
+
+def test_pca_dim_clamped_with_warning():
+    rng = np.random.RandomState(4)
+    X = rng.randn(10, 6).astype(np.float32)
+    with pytest.warns(UserWarning, match='adjusting to compensate'):
+        pre = Preprocessor.fit(X, pca_dim=512)
+    assert pre.transform(X).shape == (10, 6)
+
+
+def test_preprocessor_serialization_roundtrip():
+    rng = np.random.RandomState(5)
+    X = rng.randn(20, 8).astype(np.float32)
+    pre = Preprocessor.fit(X, pca_dim=4)
+    d = pre.to_dict()
+    pre2 = Preprocessor.from_dict(d)
+    np.testing.assert_allclose(pre.transform(X), pre2.transform(X),
+                               rtol=1e-6)

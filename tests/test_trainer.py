@@ -1,0 +1,115 @@
+"""Trainer behavior: loss decreases, early stop, batch accumulation, resume."""
+
+import numpy as np
+import pytest
+
+from jamie_tpu.config import JamieConfig
+from jamie_tpu.models import CoupledVAE
+from jamie_tpu.train.trainer import JamieTrainer
+
+
+def _make_trainer(n=64, d0=12, d1=9, **overrides):
+    rng = np.random.RandomState(0)
+    z = rng.randn(n, 4).astype(np.float32)
+    x0 = (z @ rng.randn(4, d0)).astype(np.float32)
+    x1 = (z @ rng.randn(4, d1)).astype(np.float32)
+    cfg = JamieConfig(**{**dict(
+        epoch_DNN=40, min_epochs=10, batch_size=32, epoch_chunk=10,
+        log_DNN=1000, use_early_stop=False, pca_dim=None,
+        distance_mode='euclidean'), **overrides})
+    model = CoupledVAE((d0, d1), cfg.output_dim, dropout=0.0)
+    P = np.eye(n, dtype=np.float32)
+    F = np.zeros((n, n), np.float32)
+    return JamieTrainer(cfg, model, [x0, x1], P, F), cfg
+
+
+def test_loss_decreases():
+    trainer, _ = _make_trainer()
+    state = trainer.fit()
+    losses = trainer.epoch_losses
+    assert len(losses) == 40
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_loss_history_recorded():
+    trainer, _ = _make_trainer()
+    trainer.fit()
+    for name in ('KL', 'Rec', 'CosSim', 'F'):
+        assert len(trainer.loss_history[name]) == 40
+        assert np.isfinite(trainer.loss_history[name]).all()
+
+
+def test_early_stop_triggers():
+    trainer, _ = _make_trainer(
+        epoch_DNN=200, min_epochs=5, use_early_stop=True,
+        max_steps_without_increment=3, min_increment=1e10)  # never improves
+    state = trainer.fit()
+    # stops shortly after min_epochs + streak
+    assert trainer.epochs_run < 40
+    assert bool(state.stopped)
+
+
+def test_no_early_stop_runs_full():
+    trainer, _ = _make_trainer(epoch_DNN=30, use_early_stop=False)
+    trainer.fit()
+    assert trainer.epochs_run == 30
+
+
+def test_epoch_step_mode():
+    trainer, _ = _make_trainer(batch_step=False, epoch_DNN=20)
+    trainer.fit()
+    assert len(trainer.epoch_losses) == 20
+
+
+def test_final_embed_shapes():
+    trainer, cfg = _make_trainer()
+    state = trainer.fit()
+    emb = trainer.final_embed(state)
+    assert emb[0].shape == (64, cfg.output_dim)
+    assert emb[1].shape == (64, cfg.output_dim)
+    assert np.isfinite(emb[0]).all()
+
+
+def test_loss_weights_arity_check():
+    with pytest.raises(AssertionError, match='weights'):
+        _make_trainer(loss_weights=(1.0, 1.0))
+
+
+def test_hybrid_mode_runs():
+    rng = np.random.RandomState(3)
+    n = 48
+    mask = (rng.rand(n) < 0.6).astype(float)
+    trainer, _ = _make_trainer()
+    # rebuild with partial P
+    from jamie_tpu.config import JamieConfig
+    from jamie_tpu.models import CoupledVAE
+    cfg = JamieConfig(epoch_DNN=10, min_epochs=2, batch_size=32,
+                      epoch_chunk=5, use_early_stop=False, pca_dim=None,
+                      PF_Ratio=0.7)
+    z = rng.randn(n, 4).astype(np.float32)
+    x0 = (z @ rng.randn(4, 10)).astype(np.float32)
+    x1 = (z @ rng.randn(4, 8)).astype(np.float32)
+    P = np.diag(mask).astype(np.float32)
+    F = (rng.rand(n, n) * 0.1).astype(np.float32)
+    model = CoupledVAE((10, 8), cfg.output_dim, dropout=0.0)
+    tr = JamieTrainer(cfg, model, [x0, x1], P, F)
+    assert tr.sampling_method == 'hybrid'
+    state = tr.fit()
+    assert np.isfinite(tr.epoch_losses).all()
+
+
+def test_zeros_mode_runs():
+    rng = np.random.RandomState(4)
+    from jamie_tpu.config import JamieConfig
+    from jamie_tpu.models import CoupledVAE
+    cfg = JamieConfig(epoch_DNN=10, min_epochs=2, batch_size=16,
+                      epoch_chunk=5, use_early_stop=False, pca_dim=None)
+    x0 = rng.randn(30, 10).astype(np.float32)
+    x1 = rng.randn(45, 8).astype(np.float32)
+    P = np.zeros((30, 45), np.float32)
+    F = np.zeros((30, 45), np.float32)
+    model = CoupledVAE((10, 8), cfg.output_dim, dropout=0.0)
+    tr = JamieTrainer(cfg, model, [x0, x1], P, F)
+    assert tr.sampling_method == 'zeros'
+    tr.fit()
+    assert np.isfinite(tr.epoch_losses).all()
