@@ -46,9 +46,10 @@ def _mm(a, b, precision):
 
 
 @partial(jax.jit, static_argnames=('n_iters', 'rho', 'epsilon', 'delay',
-                                   'precision_name'))
+                                   'precision_name', 'use_pallas'))
 def _run_chunk(carry, i0, Kx, Ky, tr_kx_kx, n_iters: int, rho: float,
-               epsilon: float, delay: int, precision_name: str):
+               epsilon: float, delay: int, precision_name: str,
+               use_pallas: bool = False):
     precision = _PRECISIONS[precision_name]
     pho1, pho2, dlt = 0.9, 0.999, 1e-7  # 10e-8 in the reference (jamie.py:349)
 
@@ -69,14 +70,18 @@ def _run_chunk(carry, i0, Kx, Ky, tr_kx_kx, n_iters: int, rho: float,
             )
         )
 
-        M1 = pho1 * M1 + (1 - pho1) * grad
-        M2 = pho2 * M2 + (1 - pho2) * grad * grad
-        i_f = i.astype(jnp.float32)
-        hat1 = M1 / (1 - jnp.power(pho1, i_f))
-        hat2 = M2 / (1 - jnp.power(pho2, i_f))
-        g = hat1 / (jnp.sqrt(hat2) + dlt)
-        F_tmp = jnp.maximum(F - g, 0.0)
-        F = (1 - epsilon) * F + epsilon * F_tmp
+        if use_pallas:
+            from ..ops.pallas_kernels import fused_pd_update
+            F, M1, M2 = fused_pd_update(F, M1, M2, grad, i, epsilon)
+        else:
+            M1 = pho1 * M1 + (1 - pho1) * grad
+            M2 = pho2 * M2 + (1 - pho2) * grad * grad
+            i_f = i.astype(jnp.float32)
+            hat1 = M1 / (1 - jnp.power(pho1, i_f))
+            hat2 = M2 / (1 - jnp.power(pho2, i_f))
+            g = hat1 / (jnp.sqrt(hat2) + dlt)
+            F_tmp = jnp.maximum(F - g, 0.0)
+            F = (1 - epsilon) * F + epsilon * F_tmp
 
         col_sum = jnp.sum(F, axis=0)[:, None]        # F^T @ Im
         grad_s = Lambda + rho * (col_sum - 1.0 + S)
@@ -108,11 +113,20 @@ def prime_dual(
     log_pd: int = 500,
     verbose: bool = True,
     precision: str = 'default',
+    use_pallas: bool = None,
+    mesh=None,
 ) -> np.ndarray:
     """Estimate the (m, n) correspondence matrix F.
 
     Kx, Ky: intra-dataset distance matrices; dx, dy: raw feature dims used
     for the initial scale a = sqrt(dy/dx) (jamie.py:335).
+
+    mesh: optional jax.sharding.Mesh with a 'data' axis. Rows of the F state
+    (and Kx) shard over it so the O(N^2) state splits across chips; GSPMD
+    inserts the all-gathers/psums for the cross-shard contractions. This is
+    the scale-out path for cell counts whose N^2 state exceeds one chip's
+    HBM — the reference simply ate the memory on host (31.9 GB at 9.2k
+    cells, SURVEY.md section 6).
     """
     if Kx.shape == (1, 1) and Ky.shape == (1, 1):
         warnings.warn('1x1 distance matrix, escaping...')
@@ -122,19 +136,39 @@ def prime_dual(
     Kx = jnp.asarray(np.asarray(Kx), jnp.float32) / N
     Ky = jnp.asarray(np.asarray(Ky), jnp.float32) / N
     m, n = Kx.shape[0], Ky.shape[0]
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        rows = NamedSharding(mesh, P('data', None))
+        repl = NamedSharding(mesh, P())
+        Kx = jax.device_put(Kx, rows)
+        Ky = jax.device_put(Ky, repl)
+        zeros_mn = lambda: jax.device_put(jnp.zeros((m, n), jnp.float32), rows)
+    else:
+        zeros_mn = lambda: jnp.zeros((m, n), jnp.float32)
+
     tr_kx_kx = jnp.sum(Kx * Kx.T)
 
     carry = (
-        jnp.zeros((m, n), jnp.float32),   # F
+        zeros_mn(),                       # F
         jnp.zeros((n, 1), jnp.float32),   # S
         jnp.zeros((m, 1), jnp.float32),   # Mu
         jnp.zeros((n, 1), jnp.float32),   # Lambda
-        jnp.zeros((m, n), jnp.float32),   # first moment
-        jnp.zeros((m, n), jnp.float32),   # second moment
+        zeros_mn(),                       # first moment
+        zeros_mn(),                       # second moment
         jnp.asarray(np.sqrt(dy / dx), jnp.float32),  # a
-        jnp.zeros((m, n), jnp.float32),   # FKy
-        jnp.zeros((m, n), jnp.float32),   # Kx FKy
+        zeros_mn(),                       # FKy
+        zeros_mn(),                       # Kx FKy
     )
+
+    if use_pallas is None:
+        # The fused update wins on TPU; elsewhere the interpreter would
+        # dominate, so keep the XLA path.
+        use_pallas = jax.default_backend() == 'tpu'
+    if mesh is not None:
+        # GSPMD cannot auto-partition a pallas_call; the sharded path keeps
+        # the XLA elementwise chain (fused by XLA per shard anyway).
+        use_pallas = False
 
     i = 0
     log_every = max(int(log_pd), 1)
@@ -142,7 +176,7 @@ def prime_dual(
         chunk = min(log_every, epoch_pd - i)
         carry = _run_chunk(carry, jnp.asarray(i, jnp.int32), Kx, Ky,
                            tr_kx_kx, chunk, float(rho), float(epsilon),
-                           int(delay), precision)
+                           int(delay), precision, bool(use_pallas))
         i += chunk
         if verbose and i % log_every == 0:
             F, _, _, _, _, _, a, FKy, _ = carry
