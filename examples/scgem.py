@@ -1,0 +1,102 @@
+"""scGEM parity pipeline: gene expression + DNA methylation, 177 cells.
+
+Mirrors the reference's scGEM notebook (examples/notebooks/scGEM.ipynb):
+per-feature z-scoring, JAMIE with the notebook's kwargs (cell 5), full /
+75% / 50% priors, train/test imputation split, FOSCTTM + LTA + JS metrics.
+
+Reference committed outputs (scGEM.ipynb cell 25 / BASELINE.md):
+  FOSCTTM 0.00680, LTA 0.8870; LTA at 75% / 50% priors: 0.8362 / 0.7966.
+
+Data is read from the read-only reference mount when present; the script
+exits gracefully otherwise.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+DATA = '/root/reference/examples/data/UnionCom/scGEM/'
+
+KWARGS = dict(
+    output_dim=32, epoch_DNN=10000, min_epochs=2500, log_DNN=500,
+    use_early_stop=True, batch_size=128, pca_dim=None,
+    dist_method='euclidean', loss_weights=(1, 1, 1, 1), dropout=0,
+    epoch_chunk=500,
+)
+
+
+def load_scgem():
+    if not os.path.exists(DATA + 'GeneExpression.txt'):
+        print('scGEM data not found at', DATA)
+        sys.exit(0)
+    data1 = np.loadtxt(DATA + 'GeneExpression.txt')
+    data2 = np.loadtxt(DATA + 'DNAmethylation.txt')
+    type1 = np.loadtxt(DATA + 'type1.txt').astype(int)
+    type2 = np.loadtxt(DATA + 'type2.txt').astype(int)
+    from sklearn import preprocessing
+    data1 = preprocessing.scale(data1, axis=0)
+    data2 = preprocessing.scale(data2, axis=0)
+    data1[np.isnan(data1)] = 0
+    data2[np.isnan(data2)] = 0
+    return [data1.astype(np.float32), data2.astype(np.float32)], [type1, type2]
+
+
+def main(quick: bool = False):
+    from jamie_tpu import JAMIE
+
+    np.random.seed(42)
+    dataset, types = load_scgem()
+    n = len(dataset[0])
+    kwargs = dict(KWARGS)
+    if quick:
+        kwargs.update(epoch_DNN=2000, min_epochs=500, epoch_pd=500)
+
+    results = {}
+
+    # Full-correspondence integration (notebook cell 8)
+    t0 = time.perf_counter()
+    jm = JAMIE(**kwargs)
+    jm.fit_transform(dataset=dataset)
+    jm_data = jm.transform(dataset=dataset)
+    results['fit_seconds'] = round(time.perf_counter() - t0, 1)
+    results['foscttm'] = round(jm.test_closer(jm_data), 5)
+    results['lta'] = round(jm.test_LabelTA(jm_data, types), 4)
+
+    # Partial priors (cells 9-10): diag mask at 75% / 50%
+    for frac, name in ((0.75, 'lta_75'), (0.5, 'lta_50')):
+        idx = np.random.choice(n, int(frac * n), replace=False)
+        mask = np.zeros(n)
+        mask[idx] = 1
+        jm_p = JAMIE(**kwargs)
+        jm_p.fit_transform(dataset=dataset, P=np.diag(mask))
+        p_data = jm_p.transform(dataset=dataset)
+        results[name] = round(jm_p.test_LabelTA(p_data, types), 4)
+
+    # Imputation on an 80/20 split (cell 11), per-feature pearson r
+    train_idx = np.random.choice(n, int(0.8 * n), replace=False)
+    test_idx = np.array(sorted(set(range(n)) - set(train_idx)))
+    jm_im = JAMIE(**{k: v for k, v in kwargs.items() if k != 'dropout'})
+    jm_im.fit_transform(dataset=[d[train_idx] for d in dataset])
+    # imputed[i] = prediction OF modality i (from the other modality)
+    imputed = [jm_im.modal_predict(dataset[(i + 1) % 2], (i + 1) % 2)
+               for i in range(2)]
+    for i, key in ((0, 'imputation_r_mod1'), (1, 'imputation_r_mod2')):
+        pred = imputed[i][test_idx]
+        true = dataset[i][test_idx]
+        rs = [np.corrcoef(pred[:, j], true[:, j])[0, 1]
+              for j in range(true.shape[1]) if np.std(true[:, j]) > 0]
+        results[key] = round(float(np.nanmean(rs)), 4)
+
+    results['reference'] = {
+        'foscttm': 0.00680, 'lta': 0.8870,
+        'lta_75': 0.8362, 'lta_50': 0.7966,
+    }
+    print(json.dumps(results, indent=2))
+    return results
+
+
+if __name__ == '__main__':
+    main(quick='--quick' in sys.argv)

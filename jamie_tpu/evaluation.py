@@ -26,6 +26,7 @@ from .ops.distances import _pairwise_euclidean_impl, pairwise_distance
 __all__ = [
     'test_partial', 'test_closer', 'test_label_dist', 'test_LabelTA',
     'knn_label_transfer_accuracy', 'evaluate_impact',
+    'occlusion_impact_device', 'shap_explain',
     'plot_regular', 'plot_integrated', 'plot_accuracy',
     'plot_accuracy_table', 'plot_accuracy_graph', 'plot_silhouette',
     'plot_auroc', 'plot_correlation', 'plot_auroc_correlation',
@@ -235,6 +236,80 @@ def _evaluate_impact_helper(function, perf_function, in_data, true,
         performance.append(perf)
     print()
     return np.array(performance)
+
+
+def occlusion_impact_device(estimator, in_data, true, modality: int = 0,
+                            batch_features: int = 32, idx=None):
+    """Device-vmapped occlusion importance for imputation.
+
+    The reference's `evaluate_impact` re-runs the model once per feature on
+    host (evaluation.py:995-1043). Here each dispatch evaluates
+    `batch_features` occluded variants at once via vmap over the feature
+    axis — the batch-of-perturbations formulation that actually uses the
+    TPU. Returns (baseline_r, per-feature impact = baseline - occluded_r,
+    testing_idx). `true` is the opposite-modality ground truth.
+    """
+    from .models.coupled_vae import CoupledVAE
+
+    to_mod = (modality + 1) % 2
+    pre_in = estimator.preprocessors[modality]
+    pre_out = estimator.preprocessors[to_mod]
+    x = jnp.asarray(pre_in.transform(np.asarray(in_data)), jnp.float32)
+    background = jnp.mean(x, axis=0)
+    true_t = jnp.asarray(pre_out.transform(np.asarray(true)), jnp.float32)
+    variables = estimator._variables()
+    model = estimator.model
+
+    def impute(xv):
+        return model.apply(variables, xv, modality, to_mod, train=False,
+                           method=CoupledVAE.impute)
+
+    def mean_r(pred):
+        pc = pred - jnp.mean(pred, axis=0)
+        tc = true_t - jnp.mean(true_t, axis=0)
+        num = jnp.sum(pc * tc, axis=0)
+        den = (jnp.linalg.norm(pc, axis=0) * jnp.linalg.norm(tc, axis=0))
+        return jnp.mean(num / jnp.maximum(den, 1e-12))
+
+    baseline = float(mean_r(impute(x)))
+
+    testing_idx = np.asarray(idx if idx is not None
+                             else np.arange(x.shape[1]))
+
+    @jax.jit
+    def occluded_batch(feat_ids):
+        def one(fid):
+            xo = x.at[:, fid].set(background[fid])
+            return mean_r(impute(xo))
+        return jax.vmap(one)(feat_ids)
+
+    impacts = []
+    pad = (-len(testing_idx)) % batch_features
+    padded = np.concatenate([testing_idx,
+                             np.zeros(pad, testing_idx.dtype)])
+    for start in range(0, len(padded), batch_features):
+        ids = jnp.asarray(padded[start:start + batch_features])
+        impacts.append(np.asarray(occluded_batch(ids)))
+    occluded_r = np.concatenate(impacts)[:len(testing_idx)]
+    return baseline, baseline - occluded_r, testing_idx
+
+
+def shap_explain(estimator, data, modality: int = 0, max_evals=500,
+                 **kwargs):
+    """SHAP explanation through modal_predict, as the reference notebooks do
+    (scMNC-Visual.ipynb cells 35-42). The shap package is an optional extra;
+    without it, use `occlusion_impact_device` (same question, occlusion
+    formulation, runs on device)."""
+    try:
+        import shap
+    except ImportError as e:
+        raise ImportError(
+            'shap is not installed in this environment; use '
+            'jamie_tpu.evaluation.occlusion_impact_device for on-device '
+            'occlusion importance instead.') from e
+    explainer = shap.Explainer(
+        lambda x: estimator.modal_predict(x, modality), data, **kwargs)
+    return explainer(data, max_evals=max_evals)
 
 
 # --------------------------------------------------------------------------

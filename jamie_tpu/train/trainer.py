@@ -325,3 +325,21 @@ class JamieTrainer:
                                    train=False)
         zs = outputs[0]
         return [np.asarray(z, dtype=np.float32) for z in zs]
+
+    # ------------------------------------------------ mid-training resume
+    # The reference cannot resume a fit (its checkpoint is a whole-module
+    # pickle without optimizer state, jamie.py:967-972). Here the complete
+    # TrainState — params, batch stats, Adam moments, RNG, epoch counter,
+    # early-stop bookkeeping — round-trips through orbax, so a preempted
+    # atlas-scale run continues exactly where it stopped.
+    def save_fit_state(self, path: str, state: TrainState) -> None:
+        import orbax.checkpoint as ocp
+        with ocp.StandardCheckpointer() as ckpt:
+            ckpt.save(path, jax.tree.map(np.asarray, state), force=True)
+
+    def restore_fit_state(self, path: str) -> TrainState:
+        import orbax.checkpoint as ocp
+        template = jax.tree.map(np.asarray, self.init_state())
+        with ocp.StandardCheckpointer() as ckpt:
+            restored = ckpt.restore(path, template)
+        return jax.tree.map(jnp.asarray, restored)

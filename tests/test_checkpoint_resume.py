@@ -1,0 +1,63 @@
+"""Mid-training checkpoint/resume and occlusion-importance tests."""
+
+import numpy as np
+import pytest
+
+from jamie_tpu.config import JamieConfig
+from jamie_tpu.models import CoupledVAE
+from jamie_tpu.train.trainer import JamieTrainer
+
+
+def _trainer(**overrides):
+    rng = np.random.RandomState(0)
+    n = 48
+    z = rng.randn(n, 4).astype(np.float32)
+    x0 = (z @ rng.randn(4, 12)).astype(np.float32)
+    x1 = (z @ rng.randn(4, 9)).astype(np.float32)
+    cfg = JamieConfig(**{**dict(
+        epoch_DNN=20, min_epochs=5, batch_size=24, epoch_chunk=5,
+        log_DNN=1000, use_early_stop=False, pca_dim=None), **overrides})
+    model = CoupledVAE((12, 9), cfg.output_dim, dropout=0.0)
+    return JamieTrainer(cfg, model, [x0, x1], np.eye(n, dtype=np.float32),
+                        np.zeros((n, n), np.float32))
+
+
+def test_fit_state_roundtrip(tmp_path):
+    trainer = _trainer()
+    state = trainer.fit()
+    path = str(tmp_path / 'ckpt')
+    trainer.save_fit_state(path, state)
+    restored = trainer.restore_fit_state(path)
+    emb1 = trainer.final_embed(state)
+    emb2 = trainer.final_embed(restored)
+    np.testing.assert_allclose(emb1[0], emb2[0], rtol=1e-6)
+    assert int(restored.epoch) == int(state.epoch)
+
+
+def test_resume_continues_training(tmp_path):
+    trainer = _trainer(epoch_DNN=10)
+    state = trainer.fit()
+    assert int(state.epoch) == 10
+    # Bump the budget and resume from the saved state
+    trainer2 = _trainer(epoch_DNN=20)
+    path = str(tmp_path / 'ckpt2')
+    trainer.save_fit_state(path, state)
+    restored = trainer2.restore_fit_state(path)
+    final = trainer2.fit(state=restored)
+    assert int(final.epoch) == 20
+    assert trainer2.epochs_run == 10  # only the new epochs ran
+
+
+def test_occlusion_impact_device(synthetic_pair):
+    from jamie_tpu import JAMIE
+    from jamie_tpu.evaluation import occlusion_impact_device
+    data, labels = synthetic_pair
+    jm = JAMIE(epoch_DNN=150, min_epochs=50, epoch_chunk=50, batch_size=64,
+               pca_dim=None, use_f_tilde=False, use_early_stop=False,
+               dropout=0.0, log_DNN=10000)
+    jm.fit_transform(dataset=data)
+    baseline, impact, idx = occlusion_impact_device(
+        jm, data[0], data[1], modality=0, batch_features=16)
+    assert np.isfinite(baseline)
+    assert impact.shape == (data[0].shape[1],)
+    assert np.isfinite(impact).all()
