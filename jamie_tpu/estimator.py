@@ -103,12 +103,19 @@ class JAMIE:
         time.log('Distance')
 
         if not cfg.use_f_tilde:
-            self.match_result = [
-                np.zeros([d.shape[0] for d in self.dataset], np.float32)]
+            # Above ~50M entries the zero matrix is pure waste; pass the
+            # sentinel the trainer synthesizes batch subsets from.
+            if self.row[0] * self.row[1] > 50_000_000:
+                self.match_result = ['zeros']
+            else:
+                self.match_result = [
+                    np.zeros([d.shape[0] for d in self.dataset], np.float32)]
         if self.match_result is None:
             self.match_result = self.match()
         self.pairs_x, self.pairs_y = [], []
         for i in range(self.dataset_num - 1):
+            if isinstance(self.match_result[i], str):
+                continue  # sentinel: pairs are only used by the tsne path
             row_ind, col_ind = hungarian_pairs(self.match_result[i])
             self.pairs_x.append(row_ind)
             self.pairs_y.append(col_ind)
@@ -126,7 +133,9 @@ class JAMIE:
             if i == j:
                 mat = None
             elif i > j:
-                mat = match_matrix[j][i].T
+                mat = match_matrix[j][i]
+                if not isinstance(mat, str):  # sentinels are symmetric
+                    mat = mat.T
             else:
                 mat = self.match_result[k]
                 k += 1
@@ -207,11 +216,17 @@ class JAMIE:
 
         if self.P is None:
             if self.row[0] == self.row[1]:
-                self.P = np.eye(self.row[0], dtype=np.float32)
+                # Past ~50M entries, keep the identity implicit (atlas path)
+                if self.row[0] * self.row[1] > 50_000_000:
+                    self.P = 'identity'
+                else:
+                    self.P = np.eye(self.row[0], dtype=np.float32)
             else:
                 self.P = np.zeros((self.row[0], self.row[1]), np.float32)
-        self.P = np.asarray(self.P, np.float32)
-        self.F = np.asarray(W[0][1], np.float32)
+        if not isinstance(self.P, str):
+            self.P = np.asarray(self.P, np.float32)
+        self.F = W[0][1] if isinstance(W[0][1], str) \
+            else np.asarray(W[0][1], np.float32)
 
         # Preprocessing per modality (jamie.py:434-469)
         pca_dims = cfg.pca_dim if cfg.pca_dim is not None else (None, None)

@@ -78,8 +78,20 @@ class JamieTrainer:
         self.cols = [int(d.shape[1]) for d in dataset]
 
         self.data = [jnp.asarray(np.asarray(d), dtype=jnp.float32) for d in dataset]
-        self.P = jnp.asarray(np.asarray(P), dtype=jnp.float32)
-        self.F = jnp.asarray(np.asarray(F), dtype=jnp.float32)
+
+        # P/F accept 'identity'/'zeros' sentinels so atlas-scale fits (100k+
+        # cells) never materialize the N x N prior; batch subsets are then
+        # synthesized on the fly from the indices.
+        self._p_identity = isinstance(P, str) and P == 'identity'
+        self._f_zeros = isinstance(F, str) and F == 'zeros'
+        if self._p_identity:
+            assert self.rows[0] == self.rows[1], (
+                "P='identity' requires equal-sized modalities")
+            self.P = None
+        else:
+            self.P = jnp.asarray(np.asarray(P), dtype=jnp.float32)
+        self.F = None if self._f_zeros else \
+            jnp.asarray(np.asarray(F), dtype=jnp.float32)
 
         # Batch-size setup, from UnionCom via jamie.py:511-514
         self.batch_size = int(config.batch_size)
@@ -89,11 +101,15 @@ class JamieTrainer:
             self.batch_size = int(max(self.rows))
 
         # Sampling regime (jamie.py:517-534)
-        P_np = np.asarray(P)
-        self.sampling_method = detect_sampling_method(P_np)
-        corr_pairs = None
-        if self.sampling_method == 'hybrid':
-            corr_pairs = np.argwhere(P_np > 0)
+        if self._p_identity:
+            self.sampling_method = 'diag'
+            corr_pairs = None
+        else:
+            P_np = np.asarray(P)
+            self.sampling_method = detect_sampling_method(P_np)
+            corr_pairs = None
+            if self.sampling_method == 'hybrid':
+                corr_pairs = np.argwhere(P_np > 0)
         self.sampler = make_sampler(
             self.sampling_method, self.rows, self.batch_size,
             corr_pairs=corr_pairs, true_ratio=config.true_ratio)
@@ -156,8 +172,14 @@ class JamieTrainer:
         idx0, idx1 = self.sampler(k_s)
         x0 = self._constrain(jnp.take(self.data[0], idx0, axis=0))
         x1 = self._constrain(jnp.take(self.data[1], idx1, axis=0))
-        P_sub = jnp.take(jnp.take(self.P, idx0, axis=0), idx1, axis=1)
-        F_sub = jnp.take(jnp.take(self.F, idx0, axis=0), idx1, axis=1)
+        if self._p_identity:
+            P_sub = (idx0[:, None] == idx1[None, :]).astype(jnp.float32)
+        else:
+            P_sub = jnp.take(jnp.take(self.P, idx0, axis=0), idx1, axis=1)
+        if self._f_zeros:
+            F_sub = jnp.zeros((self.batch_size, self.batch_size), jnp.float32)
+        else:
+            F_sub = jnp.take(jnp.take(self.F, idx0, axis=0), idx1, axis=1)
         Pn = row_normalize(P_sub)
         Fn = row_normalize(F_sub)
         corr = self._constrain(self.pf_ratio * Pn + (1 - self.pf_ratio) * Fn)
@@ -312,19 +334,30 @@ class JamieTrainer:
     # ----------------------------------------------------------- inference
     def final_corr(self):
         """Column-normalized correspondence for the full-set embed
-        (jamie.py:795-797)."""
-        corr_P = col_normalize(self.P)
-        corr_F = col_normalize(self.F)
-        return self.pf_ratio * corr_P + (1 - self.pf_ratio) * corr_F
+        (jamie.py:795-797). Note the reference's returned embeddings are the
+        pre-combine latents (model(...)[0], jamie.py:798) so this matrix
+        never affects the output — kept for parity/testing."""
+        P = jnp.eye(self.rows[0], dtype=jnp.float32) if self._p_identity \
+            else self.P
+        F = jnp.zeros((self.rows[0], self.rows[1]), jnp.float32) \
+            if self._f_zeros else self.F
+        return self.pf_ratio * col_normalize(P) \
+            + (1 - self.pf_ratio) * col_normalize(F)
 
     def final_embed(self, state: TrainState) -> List[np.ndarray]:
-        """Eval-mode full-dataset forward; returns the sampled-latent (mu)
-        embeddings per modality (jamie.py:794-799)."""
+        """Eval-mode full-dataset embeddings per modality (jamie.py:794-799).
+
+        The reference runs the full forward and keeps output[0] — the
+        pre-combine latents, which do not depend on corr (eval-mode z = mu
+        from refactor(encode(x))). Computing them via the mu heads directly
+        is numerically identical and skips the N x N corr and the decoders."""
         variables = {'params': state.params, 'batch_stats': state.batch_stats}
-        outputs = self.model.apply(variables, self.data, self.final_corr(),
-                                   train=False)
-        zs = outputs[0]
-        return [np.asarray(z, dtype=np.float32) for z in zs]
+        out = []
+        for i, x in enumerate(self.data):
+            mu = self.model.apply(variables, x, i, train=False,
+                                  method=type(self.model).embed_one)
+            out.append(np.asarray(mu, dtype=np.float32))
+        return out
 
     # ------------------------------------------------ mid-training resume
     # The reference cannot resume a fit (its checkpoint is a whole-module

@@ -1,0 +1,76 @@
+"""Atlas-scale path: implicit identity P / zero F, no N x N materialization."""
+
+import numpy as np
+
+from jamie_tpu.config import JamieConfig
+from jamie_tpu.models import CoupledVAE
+from jamie_tpu.train.trainer import JamieTrainer
+
+
+def _data(n=64, d0=10, d1=8, seed=0):
+    rng = np.random.RandomState(seed)
+    z = rng.randn(n, 4).astype(np.float32)
+    return [(z @ rng.randn(4, d0)).astype(np.float32),
+            (z @ rng.randn(4, d1)).astype(np.float32)]
+
+
+def _cfg(**kw):
+    return JamieConfig(**{**dict(
+        epoch_DNN=30, min_epochs=5, batch_size=32, epoch_chunk=10,
+        log_DNN=1000, use_early_stop=False, pca_dim=None), **kw})
+
+
+def test_sentinel_matches_dense():
+    """Implicit identity/zeros produce the same fit as the dense arrays
+    (same seeds -> identical batches -> identical params)."""
+    data = _data()
+    n = data[0].shape[0]
+    cfg = _cfg()
+    model = CoupledVAE((10, 8), cfg.output_dim, dropout=0.0)
+
+    dense = JamieTrainer(cfg, model, data, np.eye(n, dtype=np.float32),
+                         np.zeros((n, n), np.float32))
+    s_dense = dense.fit()
+    implicit = JamieTrainer(cfg, model, data, 'identity', 'zeros')
+    s_impl = implicit.fit()
+
+    assert implicit.sampling_method == 'diag'
+    np.testing.assert_allclose(dense.epoch_losses, implicit.epoch_losses,
+                               rtol=1e-5)
+    e1 = dense.final_embed(s_dense)
+    e2 = implicit.final_embed(s_impl)
+    np.testing.assert_allclose(e1[0], e2[0], rtol=1e-4, atol=1e-6)
+
+
+def test_estimator_atlas_flow():
+    """Estimator end-to-end with use_f_tilde=False on 'large' rows (forced
+    sentinel via monkeypatched threshold is unnecessary — just verify the
+    sentinel path directly through fit_transform on small data by the
+    trainer contract above; here check the normal path still works)."""
+    from jamie_tpu import JAMIE
+    data = _data(n=48)
+    jm = JAMIE(use_f_tilde=False, epoch_DNN=20, min_epochs=5,
+               batch_size=24, epoch_chunk=10, pca_dim=None,
+               use_early_stop=False, log_DNN=1000)
+    out = jm.fit_transform(dataset=data)
+    assert out[0].shape == (48, 32)
+    assert np.isfinite(out[0]).all()
+
+
+def test_final_embed_is_corr_independent():
+    """Pre-combine latents don't depend on corr (jamie.py:798 semantics)."""
+    import jax.numpy as jnp
+    data = _data(n=40)
+    cfg = _cfg(epoch_DNN=10)
+    model = CoupledVAE((10, 8), cfg.output_dim, dropout=0.0)
+    tr = JamieTrainer(cfg, model, data, np.eye(40, dtype=np.float32),
+                      np.zeros((40, 40), np.float32))
+    state = tr.fit()
+    emb = tr.final_embed(state)
+    # full forward with an arbitrary corr gives the same output[0]
+    variables = {'params': state.params, 'batch_stats': state.batch_stats}
+    rng = np.random.RandomState(0)
+    corr = jnp.asarray(rng.rand(40, 40), jnp.float32)
+    outputs = model.apply(variables, tr.data, corr, train=False)
+    np.testing.assert_allclose(emb[0], np.asarray(outputs[0][0]), atol=1e-5)
+    np.testing.assert_allclose(emb[1], np.asarray(outputs[0][1]), atol=1e-5)
