@@ -11,6 +11,10 @@ evaluation). Public surface:
     imputed_atac = jm.modal_predict(rna, 0)
 """
 
+from .core.cache import enable_persistent_cache as _enable_cache
+
+_enable_cache()
+
 from ._meta import __version__, __reference_version__
 from .config import JamieConfig, config_from_kwargs
 from .estimator import JAMIE

@@ -122,10 +122,27 @@ class JAMIE:
         time.log('Correspondence')
 
         if cfg.project_mode == 'tsne':
-            raise NotImplementedError(
-                "project_mode='tsne' is the legacy UnionCom path "
-                '(jamie/jamie.py:184-195); the TPU build supports the '
-                "default project_mode='jamie'.")
+            # Legacy UnionCom path (jamie/jamie.py:184-195): PCA-50 front
+            # end, perplexity-calibrated joint probabilities, pair-aligned
+            # t-SNE — all on device (solvers/tsne.py).
+            from .preprocess import PCA
+            from .solvers.tsne import joint_probabilities, project_tsne
+            P_joint = [joint_probabilities(self.dist[i], cfg.perplexity)
+                       for i in range(self.dataset_num)]
+            for i in range(self.dataset_num):
+                if self.col[i] > 50:
+                    self.dataset[i] = PCA(n_components=50).fit_transform(
+                        self.dataset[i])
+                    self.col[i] = 50
+            integrated_data = project_tsne(
+                self.dataset, P_joint, self.pairs_x[0], self.pairs_y[0],
+                output_dim=cfg.output_dim)
+            time.log('Mapping')
+            print('-' * 33)
+            print('JAMIE Done!')
+            time.aggregate()
+            time.stop()
+            return integrated_data
         match_matrix = [[None for _ in range(self.dataset_num)]
                         for _ in range(self.dataset_num)]
         k = 0

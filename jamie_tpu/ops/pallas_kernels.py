@@ -74,7 +74,9 @@ def fused_pd_update(F, M1, M2, grad, i, epsilon: float):
         jnp.asarray(epsilon, jnp.float32),
     ])
 
-    tile_m = min(_round_up(m, 8), 512)
+    # 7 live (tile_m, tile_n) f32 buffers, double-buffered by the pipeline:
+    # keep tiles at 256x512 so total VMEM stays well under the 16 MB budget.
+    tile_m = min(_round_up(m, 8), 256)
     tile_n = min(_round_up(n, 128), 512)
     grid = (pl.cdiv(m, tile_m), pl.cdiv(n, tile_n))
 

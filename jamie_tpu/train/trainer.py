@@ -282,10 +282,20 @@ class JamieTrainer:
 
     # ------------------------------------------------------------------ fit
     def fit(self, state: Optional[TrainState] = None,
-            seed: Optional[int] = None) -> TrainState:
+            seed: Optional[int] = None,
+            checkpoint_dir: Optional[str] = None,
+            checkpoint_every: int = 0) -> TrainState:
+        """Run the training loop (optionally resuming from `state`).
+
+        checkpoint_dir/checkpoint_every: periodic full-TrainState snapshots
+        every N epochs (rounded to chunk boundaries) — the preemption-safety
+        net the reference lacks (its only restartability is notebook-level
+        model caching, SURVEY.md section 5).
+        """
         cfg = self.config
         if state is None:
             state = self.init_state(seed)
+        last_ckpt_epoch = int(state.epoch)
 
         self.loss_history: Dict[str, List[float]] = {n: [] for n in LOSS_NAMES}
         self.epoch_losses: List[float] = []
@@ -325,6 +335,11 @@ class JamieTrainer:
                     print(f'epoch:[{e + 1:d}/{cfg.epoch_DNN}]: '
                           f'loss:{ep_losses[k]:4f}')
             epoch += chunk
+            if (checkpoint_dir and checkpoint_every
+                    and epoch - last_ckpt_epoch >= checkpoint_every):
+                self.save_fit_state(
+                    f'{checkpoint_dir}/epoch_{epoch}', state)
+                last_ckpt_epoch = epoch
             if bool(stops[-1]):
                 break
 

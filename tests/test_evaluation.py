@@ -1,0 +1,170 @@
+"""Metric and figure-suite tests (figures on the Agg backend)."""
+
+import matplotlib
+
+matplotlib.use('Agg')
+
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from jamie_tpu import evaluation as ev  # noqa: E402
+
+
+@pytest.fixture()
+def integrated():
+    rng = np.random.RandomState(0)
+    z = rng.randn(80, 8)
+    labels = np.where(rng.rand(80) > 0.5, 'a', 'b')
+    a = z + 0.05 * rng.randn(80, 8)
+    b = z + 0.05 * rng.randn(80, 8)
+    return [a, b], [labels, labels]
+
+
+def test_foscttm_aligned_near_zero(integrated):
+    data, labels = integrated
+    f = ev.test_closer(data)
+    assert f < 0.05
+
+
+def test_foscttm_matches_reference_formula(integrated):
+    data, _ = integrated
+    ours = ev.test_closer(data)
+    from sklearn.metrics.pairwise import pairwise_distances
+    ref = ev.test_closer(
+        data, distance_metric=lambda x: pairwise_distances(
+            x, metric='euclidean'))
+    assert abs(ours - ref) < 1e-6
+
+
+def test_foscttm_random_near_half():
+    rng = np.random.RandomState(1)
+    a = rng.randn(100, 5)
+    b = rng.randn(100, 5)
+    f = ev.test_closer([a, b])
+    assert 0.3 < f < 0.7
+
+
+def test_lta_matches_sklearn(integrated):
+    data, labels = integrated
+    ours, k = ev.knn_label_transfer_accuracy(data, labels, k=5)
+    from sklearn.neighbors import KNeighborsClassifier
+    knn = KNeighborsClassifier(n_neighbors=5)
+    knn.fit(data[1], labels[1])
+    ref = np.mean(knn.predict(data[0]) == labels[0])
+    assert abs(ours - ref) < 0.05  # tie-breaking may differ slightly
+
+
+def test_lta_auto_k(integrated):
+    data, labels = integrated
+    acc, k = ev.knn_label_transfer_accuracy(data, labels, k=None)
+    # 20% of avg class size: ~0.2 * 80/2 = 8
+    assert 4 <= k <= 12
+
+
+def test_label_dist(integrated):
+    data, labels = integrated
+    keys, dist = ev.test_label_dist(data, labels, verbose=False)
+    assert list(keys) == ['a', 'b']
+    assert dist.shape == (2, 2)
+    assert dist[0, 1] > 0
+
+
+def test_plot_integrated_smoke(integrated):
+    data, labels = integrated
+    plt.figure()
+    ev.plot_integrated(data, labels, names=['m1', 'm2'], method='pca')
+    plt.close('all')
+
+
+def test_plot_accuracy_smoke(integrated):
+    data, labels = integrated
+    plt.figure()
+    ev.plot_accuracy([data], labels, ['JAMIE'])
+    plt.close('all')
+
+
+def test_plot_accuracy_table_smoke(integrated):
+    data, labels = integrated
+    plt.figure()
+    ev.plot_accuracy_table([data, data], labels, ['A', 'B'])
+    plt.close('all')
+
+
+def test_plot_accuracy_graph_smoke(integrated):
+    data, labels = integrated
+    plt.figure()
+    ev.plot_accuracy_graph([data, data], labels, ['A', 'B'])
+    plt.close('all')
+
+
+def test_plot_silhouette_smoke(integrated):
+    data, labels = integrated
+    plt.figure()
+    ev.plot_silhouette([data], labels, ['JAMIE'], ['m1', 'm2'])
+    plt.close('all')
+
+
+def test_plot_correlation_smoke(integrated):
+    data, labels = integrated
+    rng = np.random.RandomState(0)
+    imputed = [[d + 0.3 * rng.randn(*d.shape) for d in data]]
+    plt.figure()
+    ev.plot_correlation(imputed * 2, data, ['m1', 'm2'],
+                        names=['A', 'B'])
+    plt.close('all')
+
+
+def test_plot_auroc_smoke(integrated):
+    data, labels = integrated
+    rng = np.random.RandomState(0)
+    imputed = [[d + 0.3 * rng.randn(*d.shape) for d in data]]
+    plt.figure()
+    ev.plot_auroc(imputed * 2, data, ['m1', 'm2'], names=['A', 'B'])
+    plt.close('all')
+
+
+def test_plot_sample_smoke(integrated):
+    data, _ = integrated
+    rng = np.random.RandomState(0)
+    imputed = data[0] + 0.2 * rng.randn(*data[0].shape)
+    plt.figure()
+    idx = ev.plot_sample(data[0], imputed, 'Imputed', 'm1')
+    assert 0 <= idx < data[0].shape[0]
+    plt.close('all')
+
+
+def test_plot_distribution_similarity_smoke(integrated):
+    data, labels = integrated
+    plt.figure()
+    ev.plot_distribution_similarity(
+        [np.asarray(d) for d in data], labels[0], title='JS')
+    plt.close('all')
+
+
+def test_plot_impact_smoke():
+    rng = np.random.RandomState(0)
+    values = rng.rand(20)
+    fnames = np.array([f'f{i}' for i in range(20)])
+    plt.figure()
+    ev.plot_impact(values, fnames, baseline=0.5, max_features=10)
+    plt.close('all')
+
+
+def test_evaluate_impact_host():
+    rng = np.random.RandomState(0)
+    x = rng.randn(50, 6)
+    w = np.full(6, 0.1)
+    w[2] = 5.0  # feature 2 dominates
+    y = x @ w
+
+    def function(data, idx=None):
+        return data @ w
+
+    def perf(logits, true):
+        return np.corrcoef(logits, true)[0, 1]
+
+    baseline, performance, idx = ev.evaluate_impact(function, perf, x, y)
+    assert baseline > 0.99
+    # occluding feature 2 should hurt the most
+    assert np.argmin(performance) == 2

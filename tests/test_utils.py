@@ -1,0 +1,107 @@
+"""Utility-layer tests: triage, hashing, JS distance, baselines, timing."""
+
+import numpy as np
+import pytest
+
+from jamie_tpu.utils import (
+    ensure_list, hash_kwargs, jensen_shannon_from_array, outliers,
+    predict_knn, sort_by_interest, time_logger,
+)
+
+
+def test_outliers_basic():
+    x = np.concatenate([np.zeros(20), [100.0]])[:, None]
+    mask = outliers(x)
+    assert mask[-1, 0]
+    assert not mask[:20].any()
+
+
+def test_outliers_limits():
+    x = np.random.RandomState(0).randn(100, 3)
+    result, (lo, hi, span) = outliers(x, return_limits=True)
+    assert lo.shape == (1, 3)
+    assert (hi > lo).all()
+
+
+def test_ensure_list():
+    assert ensure_list(3).tolist() == [3]
+    assert ensure_list([1, 2]).tolist() == [1, 2]
+    assert ensure_list(np.array([1])).tolist() == [1]
+
+
+def test_jensen_shannon_identical_is_zero():
+    rng = np.random.RandomState(0)
+    a = rng.randn(500)
+    assert jensen_shannon_from_array([a, a]) < 1e-9
+
+
+def test_jensen_shannon_disjoint_is_large():
+    rng = np.random.RandomState(0)
+    a = rng.randn(500)
+    b = rng.randn(500) + 50
+    assert jensen_shannon_from_array([a, b]) > 0.7
+
+
+def test_sort_by_interest_shapes():
+    rng = np.random.RandomState(0)
+    true = rng.randn(100, 12)
+    pred = true + 0.5 * rng.randn(100, 12)
+    order, idx = sort_by_interest([true, pred], limit=5)
+    assert len(order) == 12
+    assert len(idx) <= 5
+
+
+def test_hash_kwargs_defaults_collapse():
+    data = [np.zeros((10, 4)), np.zeros((10, 3))]
+    size_str, hash_str = hash_kwargs({'output_dim': 32}, 'toy', data)
+    assert size_str == 'toy---10-4---10-3'
+    assert hash_str == size_str  # default value drops out
+
+
+def test_hash_kwargs_nondefault_included():
+    data = [np.zeros((10, 4)), np.zeros((10, 3))]
+    _, hash_str = hash_kwargs({'output_dim': 64}, 'toy', data)
+    assert 'output_dim' in hash_str and '64' in hash_str
+
+
+def test_predict_knn():
+    rng = np.random.RandomState(0)
+    x = rng.randn(50, 5)
+    y = x @ rng.randn(5, 3)
+    pred = predict_knn(x, y, k=3)
+    assert pred.shape == y.shape
+    r = np.corrcoef(pred.ravel(), y.ravel())[0, 1]
+    assert r > 0.8
+
+
+def test_predict_nn_runs():
+    from jamie_tpu.models.baselines import predict_nn
+    rng = np.random.RandomState(0)
+    x = rng.randn(40, 6).astype(np.float32)
+    y = (x @ rng.randn(6, 4)).astype(np.float32)
+    pred = predict_nn(x, y, epochs=5, batch_size=16)
+    assert pred.shape == y.shape
+    assert np.isfinite(pred).all()
+
+
+def test_time_logger_sections(capsys):
+    tl = time_logger()
+    tl.log('a')
+    tl.log('b')
+    tl.log('a')
+    total = tl.aggregate()
+    out = capsys.readouterr().out
+    assert 'a:' in out and 'b:' in out and 'Total:' in out
+    assert total > 0
+    assert len(tl.history['a']) == 2
+
+
+def test_config_cache_key():
+    from jamie_tpu.config import JamieConfig
+    c1 = JamieConfig()
+    c2 = JamieConfig(output_dim=64)
+    k1 = c1.cache_key('toy', [(10, 4), (10, 3)])
+    k2 = c2.cache_key('toy', [(10, 4), (10, 3)])
+    assert k1 == 'toy---10-4---10-3'
+    assert k1 != k2
+    assert c2.nondefault_kwargs() == {'output_dim': 64}
