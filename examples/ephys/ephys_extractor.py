@@ -12,8 +12,7 @@ the scMNC pipelines.
 
 from __future__ import annotations
 
-import warnings
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import numpy as np
 

@@ -12,7 +12,7 @@ Units: v in mV, t in seconds, i in pA. dV/dt thresholds in V/s (= mV/ms).
 from __future__ import annotations
 
 import warnings
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 from scipy.optimize import curve_fit

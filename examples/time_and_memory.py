@@ -10,10 +10,15 @@ Usage: python examples/time_and_memory.py [--configs mmd,scmnc_motor,...]
 """
 
 import argparse
+import faulthandler
 import json
 import time
 
 import numpy as np
+
+# Watchdog: if a TPU dispatch wedges (e.g. a stale tunnel claim), dump the
+# stack and exit instead of hanging silently.
+faulthandler.dump_traceback_later(1800, exit=True)
 
 # (name, (n0, f0), (n1, f1), reference_total_seconds)
 CONFIGS = {
@@ -67,6 +72,15 @@ def main():
     ap.add_argument('--epoch-dnn', type=int, default=10000)
     ap.add_argument('--min-epochs', type=int, default=2500)
     args = ap.parse_args()
+
+    # One-time device/tunnel initialization happens on the first dispatch
+    # (~minutes through a remote TPU tunnel); pay it before the clock starts
+    # so per-dataset numbers measure the pipeline, not PJRT bring-up.
+    import jax
+    import jax.numpy as jnp
+    t0 = time.perf_counter()
+    jax.block_until_ready(jnp.ones((8, 128)) @ jnp.ones((128, 8)))
+    print(f'device init: {time.perf_counter() - t0:.1f}s')
 
     results = []
     for key in args.configs.split(','):

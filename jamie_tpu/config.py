@@ -85,7 +85,11 @@ class JamieConfig:
 
     # --- TPU-native knobs (no reference equivalent) ---
     compute_dtype: str = 'float32'    # 'float32' | 'bfloat16' model compute
-    solver_dtype: str = 'float32'     # prime-dual matmul precision
+    # Prime-dual matmul precision: 'bfloat16' = MXU-native bf16 inputs with
+    # f32 accumulation (the solver state stays f32; the projection/fixed-
+    # point iteration tolerates reduced matmul precision — quality validated
+    # on real scGEM). 'float32' forces 6-pass exact-f32 matmuls.
+    solver_dtype: str = 'bfloat16'
     epoch_chunk: int = 100            # epochs per scan-compiled chunk
     mesh_shape: Optional[Tuple[int, ...]] = None   # None -> all devices on 'data'
     mesh_axis_names: Tuple[str, ...] = ('data',)

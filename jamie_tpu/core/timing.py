@@ -96,6 +96,22 @@ class TimeLogger:
             tracemalloc.stop()
 
 
+def device_memory_stats(device=None) -> dict:
+    """HBM usage for one device (bytes_in_use / peak_bytes_in_use /
+    bytes_limit when the backend reports them). The device-side counterpart
+    of the reference's tracemalloc capture (jamie/utilities.py:73-79)."""
+    if jax is None:
+        return {}
+    device = device or jax.local_devices()[0]
+    try:
+        stats = device.memory_stats() or {}
+    except Exception:
+        return {}
+    keys = ('bytes_in_use', 'peak_bytes_in_use', 'bytes_limit',
+            'largest_alloc_size')
+    return {k: stats[k] for k in keys if k in stats}
+
+
 @contextlib.contextmanager
 def trace(log_dir: str = '/tmp/jamie-tpu-trace'):
     """Device-side profiling via jax.profiler (replaces tracemalloc's role

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import warnings
 from itertools import product
-from typing import Any, List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp

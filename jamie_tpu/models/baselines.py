@@ -9,8 +9,6 @@ flax modules trained under one jitted step.
 from __future__ import annotations
 
 import math
-from typing import Any, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

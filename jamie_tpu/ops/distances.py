@@ -16,8 +16,6 @@ Dijkstra is host-bound by design; the graph construction is the heavy part.
 
 from __future__ import annotations
 
-import math
-import warnings
 from functools import partial
 from typing import Optional
 
@@ -55,8 +53,51 @@ def pairwise_sq_euclidean(x: jnp.ndarray, y: Optional[jnp.ndarray] = None,
     return _pairwise_euclidean_impl(x, y, squared=True, block=block)
 
 
+@jax.jit
+def _gram_accum(acc, xb, yb):
+    return acc + xb @ yb.T
+
+
+def _pairwise_euclidean_feature_chunked(x, y, squared, self_dist,
+                                        chunk_bytes=2 << 30):
+    """Stream feature chunks host->device and accumulate the Gram matrix.
+
+    For extreme feature counts (e.g. 242k-feature ATAC, SURVEY.md section 6
+    scGLUE row) the full matrix never has to reside in HBM; only the chunk
+    and the N x N accumulator do."""
+    n, f = x.shape
+    m = y.shape[0]
+    chunk = max(int(chunk_bytes / ((n + m) * 4)), 1024)
+    acc = jnp.zeros((n, m), jnp.float32)
+    x_sq = np.zeros((n,), np.float64)
+    y_sq = np.zeros((m,), np.float64)
+    for start in range(0, f, chunk):
+        xb = np.asarray(x[:, start:start + chunk], np.float32)
+        yb = xb if (self_dist and y is x) else \
+            np.asarray(y[:, start:start + chunk], np.float32)
+        x_sq += np.sum(xb.astype(np.float64) ** 2, axis=1)
+        y_sq += np.sum(yb.astype(np.float64) ** 2, axis=1)
+        acc = _gram_accum(acc, jnp.asarray(xb), jnp.asarray(yb))
+    d2 = (jnp.asarray(x_sq, jnp.float32)[:, None]
+          + jnp.asarray(y_sq, jnp.float32)[None, :] - 2.0 * acc)
+    d2 = jnp.maximum(d2, 0.0)
+    d = d2 if squared else jnp.sqrt(d2)
+    if self_dist:
+        d = d * (1.0 - jnp.eye(n, dtype=d.dtype))
+    return d
+
+
+# Above this many elements the raw matrix streams through HBM in feature
+# chunks instead of residing there whole
+_FEATURE_CHUNK_THRESHOLD = 500_000_000
+
+
 def _pairwise_euclidean_impl(x, y=None, squared=False, block=4096):
     self_dist = y is None
+    if (np.ndim(x) == 2
+            and x.shape[0] * x.shape[1] > _FEATURE_CHUNK_THRESHOLD):
+        return _pairwise_euclidean_feature_chunked(
+            x, x if y is None else y, squared, self_dist)
     y = x if y is None else y
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)

@@ -23,26 +23,59 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _pca_fit(X: jnp.ndarray, n_components: int):
-    """Return (mean, components[k, F]) like sklearn PCA."""
+# Above this many elements the data streams through HBM in feature chunks
+_STREAM_THRESHOLD = 500_000_000
+
+
+def _pca_fit_streamed(X: np.ndarray, n_components: int):
+    """Gram-route PCA with the feature axis streamed host->device, for
+    matrices too large to keep whole in HBM (e.g. 9.2k x 242k ATAC)."""
     n, f = X.shape
-    mean = jnp.mean(X, axis=0)
-    Xc = X - mean
-    if f > n:
-        # Gram route: Xc Xc^T = U S^2 U^T; components = S^-1 U^T Xc
-        G = Xc @ Xc.T
-        w, U = jnp.linalg.eigh(G)           # ascending
-        w = w[::-1][:n_components]
-        U = U[:, ::-1][:, :n_components]
-        s = jnp.sqrt(jnp.maximum(w, 1e-12))
-        comps = (U / s).T @ Xc              # (k, F)
+    chunk = max(int((2 << 30) / (n * 4)), 1024)
+    mean_parts, gram = [], jnp.zeros((n, n), jnp.float32)
+    for start in range(0, f, chunk):
+        xb = jnp.asarray(np.asarray(X[:, start:start + chunk], np.float32))
+        mb = jnp.mean(xb, axis=0)
+        xbc = xb - mb
+        gram = gram + xbc @ xbc.T
+        mean_parts.append(np.asarray(mb))
+    w, U = jnp.linalg.eigh(gram)
+    w = w[::-1][:n_components]
+    U = U[:, ::-1][:, :n_components]
+    s = jnp.sqrt(jnp.maximum(w, 1e-12))
+    Us = U / s
+    comp_parts = []
+    for start in range(0, f, chunk):
+        xb = jnp.asarray(np.asarray(X[:, start:start + chunk], np.float32))
+        xbc = xb - jnp.mean(xb, axis=0)
+        comp_parts.append(np.asarray(Us.T @ xbc))
+    comps = jnp.asarray(np.concatenate(comp_parts, axis=1))
+    mean = jnp.asarray(np.concatenate(mean_parts))
+    return mean, comps
+
+
+def _pca_fit(X, n_components: int):
+    """Return (mean, components[k, F]) like sklearn PCA."""
+    n, f = np.shape(X)
+    if n * f > _STREAM_THRESHOLD and f > n:
+        mean, comps = _pca_fit_streamed(np.asarray(X), n_components)
     else:
-        C = Xc.T @ Xc
-        w, V = jnp.linalg.eigh(C)
-        V = V[:, ::-1][:, :n_components]
-        comps = V.T
-        U = Xc @ V                           # for sign convention
-        s = None
+        X = jnp.asarray(X, jnp.float32)
+        mean = jnp.mean(X, axis=0)
+        Xc = X - mean
+        if f > n:
+            # Gram route: Xc Xc^T = U S^2 U^T; components = S^-1 U^T Xc
+            G = Xc @ Xc.T
+            w, U = jnp.linalg.eigh(G)           # ascending
+            w = w[::-1][:n_components]
+            U = U[:, ::-1][:, :n_components]
+            s = jnp.sqrt(jnp.maximum(w, 1e-12))
+            comps = (U / s).T @ Xc              # (k, F)
+        else:
+            C = Xc.T @ Xc
+            w, V = jnp.linalg.eigh(C)
+            V = V[:, ::-1][:, :n_components]
+            comps = V.T
     # Deterministic signs (sklearn svd_flip style: largest-|.| of each
     # component made positive)
     signs = jnp.sign(comps[jnp.arange(comps.shape[0]),
@@ -61,8 +94,7 @@ class PCA:
         self.components_: Optional[np.ndarray] = None
 
     def fit(self, X):
-        X = jnp.asarray(np.asarray(X), jnp.float32)
-        mean, comps = _pca_fit(X, self.n_components)
+        mean, comps = _pca_fit(np.asarray(X, np.float32), self.n_components)
         self.mean_ = np.asarray(mean)
         self.components_ = np.asarray(comps)
         return self

@@ -19,7 +19,7 @@ identical.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Sequence
 
 import jax.numpy as jnp
 

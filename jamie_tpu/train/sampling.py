@@ -55,14 +55,18 @@ def make_sampler(
     """Return sample(key) -> (idx0, idx1), each of shape (batch_size,)."""
     rows = tuple(int(r) for r in rows)
 
+    # Samplers accept the matched-pair table as a call-time argument so a
+    # jitted caller can pass it as a traced operand (device arrays closed
+    # over as jaxpr constants defeat executable caching); standalone callers
+    # may omit it and fall back to the build-time table.
     if method == 'diag':
-        def sample(key):
+        def sample(key, pairs=None):
             idx = _draw(key, rows[0], batch_size)
             return idx, idx
         return sample
 
     if method == 'zeros':
-        def sample(key):
+        def sample(key, pairs=None):
             k0, k1 = jax.random.split(key)
             return _draw(k0, rows[0], batch_size), _draw(k1, rows[1], batch_size)
         return sample
@@ -70,10 +74,12 @@ def make_sampler(
     if method == 'hybrid':
         assert corr_pairs is not None and len(corr_pairs) > 0, (
             'hybrid sampling requires nonzero-P matched pairs')
-        pairs = jnp.asarray(np.asarray(corr_pairs, dtype=np.int32))
-        num_corr = pairs.shape[0]
+        default_pairs = np.asarray(corr_pairs, dtype=np.int32)
+        num_corr = default_pairs.shape[0]
 
-        def sample(key):
+        def sample(key, pairs=None):
+            if pairs is None:
+                pairs = default_pairs
             k_mask, k_pair, k0, k1 = jax.random.split(key, 4)
             take_corr = jax.random.uniform(k_mask, (batch_size,)) < true_ratio
             pair_idx = jax.random.randint(k_pair, (batch_size,), 0, num_corr)

@@ -21,10 +21,8 @@ implicitly through pjit.
 
 from __future__ import annotations
 
-import math
-import warnings
 import time
-from functools import partial
+import warnings
 from typing import Any, Dict, List, Optional, Sequence
 
 import flax
@@ -113,6 +111,9 @@ class JamieTrainer:
         self.sampler = make_sampler(
             self.sampling_method, self.rows, self.batch_size,
             corr_pairs=corr_pairs, true_ratio=config.true_ratio)
+        self._pairs = (jnp.asarray(corr_pairs, jnp.int32)
+                       if corr_pairs is not None
+                       else jnp.zeros((1, 2), jnp.int32))
 
         self.pf_ratio = 1.0 if config.PF_Ratio is None else float(config.PF_Ratio)
         if config.loss_weights is not None:
@@ -166,20 +167,32 @@ class JamieTrainer:
             return jax.lax.with_sharding_constraint(x, self._batch_sharding)
         return x
 
-    def _batch_loss_and_grads(self, params, batch_stats, key, epoch_idx):
+    def _operands(self):
+        """Device operands threaded through the jitted chunk fn as ARGUMENTS.
+        Closing over device arrays would bake them into the executable as
+        constants — defeating the compilation cache across datasets and
+        forcing device->host constant fetches at lowering time."""
+        dummy = jnp.zeros((1, 1), jnp.float32)
+        return (self.data[0], self.data[1],
+                dummy if self.P is None else self.P,
+                dummy if self.F is None else self.F,
+                self._pairs)
+
+    def _batch_loss_and_grads(self, params, batch_stats, key, epoch_idx, ops):
         cfg = self.config
+        data0, data1, P, F, pairs = ops
         k_s, k_d, k_r = jax.random.split(key, 3)
-        idx0, idx1 = self.sampler(k_s)
-        x0 = self._constrain(jnp.take(self.data[0], idx0, axis=0))
-        x1 = self._constrain(jnp.take(self.data[1], idx1, axis=0))
+        idx0, idx1 = self.sampler(k_s, pairs)
+        x0 = self._constrain(jnp.take(data0, idx0, axis=0))
+        x1 = self._constrain(jnp.take(data1, idx1, axis=0))
         if self._p_identity:
             P_sub = (idx0[:, None] == idx1[None, :]).astype(jnp.float32)
         else:
-            P_sub = jnp.take(jnp.take(self.P, idx0, axis=0), idx1, axis=1)
+            P_sub = jnp.take(jnp.take(P, idx0, axis=0), idx1, axis=1)
         if self._f_zeros:
             F_sub = jnp.zeros((self.batch_size, self.batch_size), jnp.float32)
         else:
-            F_sub = jnp.take(jnp.take(self.F, idx0, axis=0), idx1, axis=1)
+            F_sub = jnp.take(jnp.take(F, idx0, axis=0), idx1, axis=1)
         Pn = row_normalize(P_sub)
         Fn = row_normalize(F_sub)
         corr = self._constrain(self.pf_ratio * Pn + (1 - self.pf_ratio) * Fn)
@@ -205,7 +218,7 @@ class JamieTrainer:
         return loss, vec, new_bs, grads
 
     # ----------------------------------------------------------- epoch body
-    def _epoch_body(self, state: TrainState, epoch_idx):
+    def _epoch_body(self, state: TrainState, epoch_idx, ops):
         cfg = self.config
 
         def run(state):
@@ -216,7 +229,7 @@ class JamieTrainer:
                 def batch_body(carry, key):
                     params, bstats, opt = carry
                     loss, vec, bstats, grads = self._batch_loss_and_grads(
-                        params, bstats, key, epoch_idx)
+                        params, bstats, key, epoch_idx, ops)
                     updates, opt = self.tx.update(grads, opt, params)
                     params = optax.apply_updates(params, updates)
                     return (params, bstats, opt), (loss, vec)
@@ -231,7 +244,7 @@ class JamieTrainer:
                 def batch_body(carry, key):
                     params, bstats, acc = carry
                     loss, vec, bstats, grads = self._batch_loss_and_grads(
-                        params, bstats, key, epoch_idx)
+                        params, bstats, key, epoch_idx, ops)
                     acc = jax.tree.map(jnp.add, acc, grads)
                     return (params, bstats, acc), (loss, vec)
 
@@ -274,28 +287,42 @@ class JamieTrainer:
 
     def _chunk_fn(self, chunk: int):
         if chunk not in self._chunk_fn_cache:
-            def body(state):
+            def body(state, data0, data1, P, F, pairs):
+                ops = (data0, data1, P, F, pairs)
                 epochs = state.epoch + jnp.arange(chunk, dtype=jnp.int32)
-                return jax.lax.scan(self._epoch_body, state, epochs)
-            self._chunk_fn_cache[chunk] = jax.jit(body)
+                return jax.lax.scan(
+                    lambda st, ep: self._epoch_body(st, ep, ops),
+                    state, epochs)
+            jitted = jax.jit(body)
+            self._chunk_fn_cache[chunk] = \
+                lambda state: jitted(state, *self._operands())
         return self._chunk_fn_cache[chunk]
 
     # ------------------------------------------------------------------ fit
     def fit(self, state: Optional[TrainState] = None,
             seed: Optional[int] = None,
             checkpoint_dir: Optional[str] = None,
-            checkpoint_every: int = 0) -> TrainState:
+            checkpoint_every: int = 0,
+            metrics_path: Optional[str] = None) -> TrainState:
         """Run the training loop (optionally resuming from `state`).
 
         checkpoint_dir/checkpoint_every: periodic full-TrainState snapshots
         every N epochs (rounded to chunk boundaries) — the preemption-safety
         net the reference lacks (its only restartability is notebook-level
         model caching, SURVEY.md section 5).
+        metrics_path: optional JSONL file; one structured record per chunk
+        (epoch range, per-loss means, wall seconds, device HBM stats) —
+        the structured replacement for the reference's print logging
+        (jamie.py:763-775).
         """
+        import json
+        from ..core.timing import device_memory_stats
         cfg = self.config
         if state is None:
             state = self.init_state(seed)
         last_ckpt_epoch = int(state.epoch)
+        metrics_f = open(metrics_path, 'a') if metrics_path else None
+        chunk_t0 = time.perf_counter()
 
         self.loss_history: Dict[str, List[float]] = {n: [] for n in LOSS_NAMES}
         self.epoch_losses: List[float] = []
@@ -335,6 +362,23 @@ class JamieTrainer:
                     print(f'epoch:[{e + 1:d}/{cfg.epoch_DNN}]: '
                           f'loss:{ep_losses[k]:4f}')
             epoch += chunk
+            if metrics_f is not None:
+                now = time.perf_counter()
+                record = {
+                    'epoch_start': epoch - chunk,
+                    'epoch_end': epoch - chunk + int(valid.sum()),
+                    'epoch_loss_mean': float(np.mean(ep_losses[valid]))
+                    if valid.any() else None,
+                    'losses': {
+                        name: float(np.mean(loss_mat[valid, j]))
+                        for j, name in enumerate(LOSS_NAMES)
+                    } if valid.any() else {},
+                    'seconds': round(now - chunk_t0, 4),
+                    'memory': device_memory_stats(),
+                }
+                metrics_f.write(json.dumps(record) + '\n')
+                metrics_f.flush()
+                chunk_t0 = now
             if (checkpoint_dir and checkpoint_every
                     and epoch - last_ckpt_epoch >= checkpoint_every):
                 self.save_fit_state(
@@ -343,6 +387,8 @@ class JamieTrainer:
             if bool(stops[-1]):
                 break
 
+        if metrics_f is not None:
+            metrics_f.close()
         self.fit_seconds = time.perf_counter() - t0
         return state
 

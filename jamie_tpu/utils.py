@@ -16,8 +16,6 @@ Reference parity: jamie/utilities.py —
 from __future__ import annotations
 
 import contextlib
-from typing import Optional
-
 import numpy as np
 from scipy import stats
 from scipy.spatial import distance as _sp_distance

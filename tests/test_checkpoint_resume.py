@@ -61,3 +61,16 @@ def test_occlusion_impact_device(synthetic_pair):
     assert np.isfinite(baseline)
     assert impact.shape == (data[0].shape[1],)
     assert np.isfinite(impact).all()
+
+
+def test_metrics_jsonl(tmp_path):
+    import json
+    trainer = _trainer(epoch_DNN=10)
+    path = str(tmp_path / 'metrics.jsonl')
+    trainer.fit(metrics_path=path)
+    records = [json.loads(line) for line in open(path)]
+    assert len(records) == 2  # 10 epochs / chunk 5
+    assert records[0]['epoch_start'] == 0
+    assert records[0]['epoch_end'] == 5
+    assert set(records[0]['losses']) == {'KL', 'Rec', 'CosSim', 'F'}
+    assert records[0]['seconds'] > 0

@@ -75,3 +75,16 @@ def test_geodesic_connected():
     np.testing.assert_allclose(g, g.T, atol=1e-4)
     e = np.asarray(pairwise_distance(X, 'euclidean'))
     assert (g >= e - 1e-3).all()  # shortest path can't beat straight line
+
+
+def test_feature_chunked_matches_direct():
+    from jamie_tpu.ops import distances as D
+    X = np.random.RandomState(3).randn(50, 200).astype(np.float32)
+    direct = np.asarray(D._pairwise_euclidean_impl(X, squared=True))
+    old = D._FEATURE_CHUNK_THRESHOLD
+    try:
+        D._FEATURE_CHUNK_THRESHOLD = 100  # force the streaming path
+        chunked = np.asarray(D._pairwise_euclidean_impl(X, squared=True))
+    finally:
+        D._FEATURE_CHUNK_THRESHOLD = old
+    np.testing.assert_allclose(chunked, direct, atol=1e-2, rtol=1e-4)

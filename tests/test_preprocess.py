@@ -81,3 +81,20 @@ def test_preprocessor_serialization_roundtrip():
     pre2 = Preprocessor.from_dict(d)
     np.testing.assert_allclose(pre.transform(X), pre2.transform(X),
                                rtol=1e-6)
+
+
+def test_pca_streamed_matches_direct():
+    from jamie_tpu import preprocess as pp
+    rng = np.random.RandomState(7)
+    X = rng.randn(30, 400).astype(np.float32)
+    direct = pp.PCA(n_components=5).fit(X)
+    old = pp._STREAM_THRESHOLD
+    try:
+        pp._STREAM_THRESHOLD = 100  # force streaming
+        streamed = pp.PCA(n_components=5).fit(X)
+    finally:
+        pp._STREAM_THRESHOLD = old
+    for i in range(5):
+        dot = abs(np.dot(direct.components_[i], streamed.components_[i]))
+        assert dot > 0.999
+    np.testing.assert_allclose(streamed.mean_, direct.mean_, atol=1e-5)
