@@ -83,12 +83,27 @@ def main(quick: bool = False):
     # imputed[i] = prediction OF modality i (from the other modality)
     imputed = [jm_im.modal_predict(dataset[(i + 1) % 2], (i + 1) % 2)
                for i in range(2)]
-    for i, key in ((0, 'imputation_r_mod1'), (1, 'imputation_r_mod2')):
+    from jamie_tpu.utils import jensen_shannon_from_array
+    for i, (rkey, jskey) in ((0, ('imputation_r_mod1', 'imputation_js_sim_mod1')),
+                             (1, ('imputation_r_mod2', 'imputation_js_sim_mod2'))):
         pred = imputed[i][test_idx]
         true = dataset[i][test_idx]
         rs = [np.corrcoef(pred[:, j], true[:, j])[0, 1]
               for j in range(true.shape[1]) if np.std(true[:, j]) > 0]
-        results[key] = round(float(np.nanmean(rs)), 4)
+        results[rkey] = round(float(np.nanmean(rs)), 4)
+        # Per-label per-feature JS similarity, as the notebooks' cell-29
+        # plot_distribution_similarity reports (evaluation.py:870-873)
+        labs = types[i][test_idx]
+        js = []
+        for lab in np.unique(labs):
+            for f in range(true.shape[1]):
+                try:
+                    d = jensen_shannon_from_array(
+                        [true[labs == lab, f], pred[labs == lab, f]])
+                    js.append(1.0 if np.isnan(d) else d)
+                except Exception:
+                    js.append(1.0)
+        results[jskey] = round(float(1.0 - np.mean(js)), 4)
 
     results['reference'] = {
         'foscttm': 0.00680, 'lta': 0.8870,

@@ -18,6 +18,7 @@ _enable_cache()
 from ._meta import __version__, __reference_version__
 from .config import JamieConfig, config_from_kwargs
 from .estimator import JAMIE
+from . import io
 from . import evaluation
 from . import nn_funcs
 from . import utils

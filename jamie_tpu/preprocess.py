@@ -26,30 +26,76 @@ import numpy as np
 # Above this many elements the data streams through HBM in feature chunks
 _STREAM_THRESHOLD = 500_000_000
 
+# Above this many cells, full eigh of the N x N Gram matrix is slower than a
+# randomized range finder (eigh is sequential-heavy on TPU; the randomized
+# path is pure MXU matmuls + a small QR/eigh)
+_RANDOMIZED_THRESHOLD = 4096
 
-def _pca_fit_streamed(X: np.ndarray, n_components: int):
-    """Gram-route PCA with the feature axis streamed host->device, for
-    matrices too large to keep whole in HBM (e.g. 9.2k x 242k ATAC)."""
+
+def _pca_fit_randomized(X: jnp.ndarray, n_components: int,
+                        oversample: int = 10, power_iters: int = 2,
+                        seed: int = 0):
+    """Halko-style randomized PCA: two passes of tall matmuls + a small
+    factorization. Accuracy for the top components matches exact PCA to the
+    spectral-decay limit; power iterations sharpen slowly-decaying spectra."""
     n, f = X.shape
-    chunk = max(int((2 << 30) / (n * 4)), 1024)
-    mean_parts, gram = [], jnp.zeros((n, n), jnp.float32)
-    for start in range(0, f, chunk):
+    k = min(n_components + oversample, min(n, f))
+    mean = jnp.mean(X, axis=0)
+    Xc = X - mean
+    key = jax.random.PRNGKey(seed)
+    omega = jax.random.normal(key, (f, k), jnp.float32)
+    Y = Xc @ omega                               # (n, k)
+    Q, _ = jnp.linalg.qr(Y)
+    for _ in range(power_iters):
+        Z = Xc.T @ Q                             # (f, k)
+        Q, _ = jnp.linalg.qr(Xc @ Z)
+    B = Q.T @ Xc                                 # (k, f)
+    # top right-singular vectors of B == of Xc (within the range of Q)
+    BBt = B @ B.T
+    w, Ub = jnp.linalg.eigh(BBt)
+    Ub = Ub[:, ::-1][:, :n_components]
+    s = jnp.sqrt(jnp.maximum(w[::-1][:n_components], 1e-12))
+    comps = (Ub / s).T @ B                       # (n_components, f)
+    return mean, comps
+
+
+def _pca_fit_streamed(X: np.ndarray, n_components: int, oversample: int = 10,
+                      seed: int = 0):
+    """Randomized PCA with the feature axis streamed host->device, for
+    matrices too large to keep whole in HBM (e.g. 9.2k x 242k ATAC). Two
+    streaming passes: range finding (Y = Xc Omega, with Omega generated
+    per-chunk from a counter-derived key) and projection (B = Q^T Xc);
+    avoids both the resident matrix and the N x N eigh."""
+    n, f = X.shape
+    k = min(n_components + oversample, n)
+    chunk = max(int((1 << 30) / (n * 4)), 1024)
+    key = jax.random.PRNGKey(seed)
+
+    # Pass 1: column means + sketch Y = sum_b Xc_b Omega_b
+    mean_parts = []
+    Y = jnp.zeros((n, k), jnp.float32)
+    for ci, start in enumerate(range(0, f, chunk)):
         xb = jnp.asarray(np.asarray(X[:, start:start + chunk], np.float32))
         mb = jnp.mean(xb, axis=0)
-        xbc = xb - mb
-        gram = gram + xbc @ xbc.T
+        omega_b = jax.random.normal(jax.random.fold_in(key, ci),
+                                    (xb.shape[1], k), jnp.float32)
+        Y = Y + (xb - mb) @ omega_b
         mean_parts.append(np.asarray(mb))
-    w, U = jnp.linalg.eigh(gram)
-    w = w[::-1][:n_components]
-    U = U[:, ::-1][:, :n_components]
-    s = jnp.sqrt(jnp.maximum(w, 1e-12))
-    Us = U / s
+    Q, _ = jnp.linalg.qr(Y)
+
+    # Pass 2: B = Q^T Xc, accumulated on host per chunk (k x f)
     comp_parts = []
     for start in range(0, f, chunk):
         xb = jnp.asarray(np.asarray(X[:, start:start + chunk], np.float32))
         xbc = xb - jnp.mean(xb, axis=0)
-        comp_parts.append(np.asarray(Us.T @ xbc))
-    comps = jnp.asarray(np.concatenate(comp_parts, axis=1))
+        comp_parts.append(np.asarray(Q.T @ xbc))
+    B = np.concatenate(comp_parts, axis=1)           # (k, f) on host
+
+    BBt = jnp.asarray(B) @ jnp.asarray(B).T          # (k, k)
+    w, Ub = jnp.linalg.eigh(BBt)
+    Ub = np.asarray(Ub)[:, ::-1][:, :n_components]
+    s = np.sqrt(np.maximum(np.asarray(w)[::-1][:n_components], 1e-12))
+    comps = jnp.asarray((Ub / s).T @ B)              # (n_components, f)
     mean = jnp.asarray(np.concatenate(mean_parts))
     return mean, comps
 
@@ -59,6 +105,10 @@ def _pca_fit(X, n_components: int):
     n, f = np.shape(X)
     if n * f > _STREAM_THRESHOLD and f > n:
         mean, comps = _pca_fit_streamed(np.asarray(X), n_components)
+    elif (min(n, f) > _RANDOMIZED_THRESHOLD
+          and n_components <= min(n, f) // 4):
+        mean, comps = _pca_fit_randomized(
+            jnp.asarray(X, jnp.float32), n_components)
     else:
         X = jnp.asarray(X, jnp.float32)
         mean = jnp.mean(X, axis=0)

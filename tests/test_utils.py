@@ -105,3 +105,17 @@ def test_config_cache_key():
     assert k1 == 'toy---10-4---10-3'
     assert k1 != k2
     assert c2.nondefault_kwargs() == {'output_dim': 64}
+
+
+def test_io_load_matrix_roundtrip(tmp_path):
+    from jamie_tpu.io import load_matrix
+    x = np.random.RandomState(0).randn(10, 4).astype(np.float32)
+    np.save(tmp_path / 'm.npy', x)
+    np.testing.assert_allclose(load_matrix(str(tmp_path / 'm.npy')), x)
+    np.savetxt(tmp_path / 'm.txt', x)
+    np.testing.assert_allclose(load_matrix(str(tmp_path / 'm.txt')), x,
+                               rtol=1e-5)
+    mm = load_matrix(str(tmp_path / 'm.npy'), mmap=True)
+    np.testing.assert_allclose(np.asarray(mm), x)
+    t = load_matrix(str(tmp_path / 'm.npy'), transpose=True)
+    assert t.shape == (4, 10)
