@@ -17,8 +17,13 @@ import time
 import numpy as np
 
 # Watchdog: if a TPU dispatch wedges (e.g. a stale tunnel claim), dump the
-# stack and exit instead of hanging silently.
-faulthandler.dump_traceback_later(1800, exit=True)
+# stack and exit instead of hanging silently. Re-armed per config.
+def _arm_watchdog(seconds=2400):
+    faulthandler.cancel_dump_traceback_later()
+    faulthandler.dump_traceback_later(seconds, exit=True)
+
+
+_arm_watchdog()
 
 # (name, (n0, f0), (n1, f1), reference_total_seconds)
 CONFIGS = {
@@ -37,17 +42,27 @@ def synthesize(shape0, shape1, seed=0, latent=32):
     rng = np.random.RandomState(seed)
     n = shape0[0]
     z = rng.randn(n, latent).astype(np.float32)
-    x0 = (z @ rng.randn(latent, shape0[1]).astype(np.float32)
-          + 0.3 * rng.randn(n, shape0[1]).astype(np.float32))
-    x1 = (z @ rng.randn(latent, shape1[1]).astype(np.float32)
-          + 0.3 * rng.randn(n, shape1[1]).astype(np.float32))
-    return [x0, x1]
+
+    def one(shape):
+        # feature-chunked so the noise generation for 242k-dim modalities
+        # stays memory- and time-bounded
+        out = np.empty((n, shape[1]), np.float32)
+        chunk = 16384
+        for s in range(0, shape[1], chunk):
+            e = min(s + chunk, shape[1])
+            w = rng.randn(latent, e - s).astype(np.float32)
+            out[:, s:e] = z @ w
+            out[:, s:e] += 0.3 * rng.randn(n, e - s).astype(np.float32)
+        return out
+
+    return [one(shape0), one(shape1)]
 
 
 def run_config(name, shape0, shape1, ref_total, epoch_dnn=10000,
                min_epochs=2500):
     from jamie_tpu import JAMIE
 
+    _arm_watchdog()
     dataset = synthesize(shape0, shape1)
     jm = JAMIE(output_dim=32, batch_size=512, pca_dim=(512, 512),
                epoch_DNN=epoch_dnn, min_epochs=min_epochs,

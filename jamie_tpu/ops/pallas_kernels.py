@@ -60,6 +60,77 @@ def _pd_update_kernel(scalars_ref, f_ref, m1_ref, m2_ref, g_ref,
     m2_out[...] = m2
 
 
+def _pd_grad_update_kernel(scalars_ref, f_ref, m1_ref, m2_ref, mm4_ref,
+                           kxfky_ref, rowvec_ref, colvec_ref,
+                           f_out, m1_out, m2_out):
+    """Gradient assembly + Adam + projection in one pass.
+
+    grad = 4*mm4 - 4a*KxFKy + rowvec + colvec, where the caller pre-folds
+    the cheap vector terms: rowvec = Mu + rho*rowsum(F) (m,1) and
+    colvec = Lambda^T + rho*(colsum(F) + (S-2)^T) (1,n). Fusing here means
+    the (m, n) gradient never round-trips HBM.
+    """
+    bias1 = scalars_ref[0]
+    bias2 = scalars_ref[1]
+    eps = scalars_ref[2]
+    a = scalars_ref[3]
+    pho1, pho2, delta = 0.9, 0.999, 1e-7
+
+    grad = (4.0 * mm4_ref[...] - 4.0 * a * kxfky_ref[...]
+            + rowvec_ref[...] + colvec_ref[...])
+    m1 = pho1 * m1_ref[...] + (1 - pho1) * grad
+    m2 = pho2 * m2_ref[...] + (1 - pho2) * grad * grad
+    step = (m1 / bias1) / (jnp.sqrt(m2 / bias2) + delta)
+    f = f_ref[...]
+    f_tmp = jnp.maximum(f - step, 0.0)
+    f_out[...] = (1 - eps) * f + eps * f_tmp
+    m1_out[...] = m1
+    m2_out[...] = m2
+
+
+@functools.partial(jax.jit, static_argnames=('epsilon', 'rho'))
+def fused_pd_grad_update(F, M1, M2, mm4, KxFKy, Mu, Lambda, S, rowsum,
+                         colsum, a, i, epsilon: float, rho: float):
+    """One fused prime-dual iteration tail: gradient assembly (from the two
+    matmul products), Adam moments, bias correction, normalized step,
+    nonneg projection, damped F update. Returns (F', M1', M2')."""
+    m, n = F.shape
+    i_f = i.astype(jnp.float32)
+    scalars = jnp.stack([
+        1.0 - jnp.power(0.9, i_f),
+        1.0 - jnp.power(0.999, i_f),
+        jnp.asarray(epsilon, jnp.float32),
+        a.astype(jnp.float32),
+    ])
+    rowvec = Mu + rho * rowsum                        # (m, 1)
+    colvec = Lambda.T + rho * (colsum + (S - 2.0).T)  # (1, n)
+
+    tile_m = min(_round_up(m, 8), 256)
+    tile_n = min(_round_up(n, 128), 512)
+    grid = (pl.cdiv(m, tile_m), pl.cdiv(n, tile_n))
+
+    def tiled():
+        return pl.BlockSpec((tile_m, tile_n), lambda a_, b_: (a_, b_),
+                            memory_space=pltpu.VMEM)
+
+    out_shape = jax.ShapeDtypeStruct((m, n), jnp.float32)
+    return pl.pallas_call(
+        _pd_grad_update_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
+            tiled(), tiled(), tiled(), tiled(), tiled(),
+            pl.BlockSpec((tile_m, 1), lambda a_, b_: (a_, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda a_, b_: (0, b_),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(tiled(), tiled(), tiled()),
+        out_shape=(out_shape, out_shape, out_shape),
+        interpret=_interpret(),
+    )(scalars, F, M1, M2, mm4, KxFKy, rowvec, colvec)
+
+
 @functools.partial(jax.jit, static_argnames=('epsilon',))
 def fused_pd_update(F, M1, M2, grad, i, epsilon: float):
     """One fused prime-dual state update; returns (F', M1', M2').

@@ -41,6 +41,11 @@ _PRECISIONS = {
 
 
 def _mm(a, b, precision):
+    if precision is None:
+        # MXU-native: bf16 inputs, f32 accumulation — explicit cast so the
+        # fast path doesn't depend on the ambient default_matmul_precision
+        return jnp.matmul(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
     return jnp.matmul(a, b, precision=precision)
 
 
@@ -57,22 +62,23 @@ def _run_chunk(carry, i0, Kx, Ky, tr_kx_kx, n_iters: int, rho: float,
         i = i0 + t + 1  # 1-based Adam timestep (incremented pre-update, :374)
 
         inner = _mm(F.T, FKy, precision)            # (n, n)
-        grad = (
-            4.0 * _mm(FKy, inner, precision)
-            - 4.0 * a * KxFKy
-            + Mu                                     # Mu @ In^T broadcast
-            + Lambda.T                               # Im @ Lambda^T broadcast
-            + rho * (
-                jnp.sum(F, axis=1, keepdims=True)    # F @ Inn (row sums)
-                + jnp.sum(F, axis=0, keepdims=True)  # Im^T F broadcast
-                + (S - 2.0).T                        # (S - 2 In)^T broadcast
-            )
-        )
+        mm4 = _mm(FKy, inner, precision)            # (m, n)
+        rowsum = jnp.sum(F, axis=1, keepdims=True)  # F @ Inn
+        colsum = jnp.sum(F, axis=0, keepdims=True)  # Im^T F
 
         if use_pallas:
-            from ..ops.pallas_kernels import fused_pd_update
-            F, M1, M2 = fused_pd_update(F, M1, M2, grad, i, epsilon)
+            from ..ops.pallas_kernels import fused_pd_grad_update
+            F, M1, M2 = fused_pd_grad_update(
+                F, M1, M2, mm4, KxFKy, Mu, Lambda, S, rowsum, colsum, a, i,
+                epsilon, rho)
         else:
+            grad = (
+                4.0 * mm4
+                - 4.0 * a * KxFKy
+                + Mu                                 # Mu @ In^T broadcast
+                + Lambda.T                           # Im @ Lambda^T broadcast
+                + rho * (rowsum + colsum + (S - 2.0).T)
+            )
             M1 = pho1 * M1 + (1 - pho1) * grad
             M2 = pho2 * M2 + (1 - pho2) * grad * grad
             i_f = i.astype(jnp.float32)
