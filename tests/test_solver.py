@@ -51,3 +51,13 @@ def test_prime_dual_recovers_shuffled_identity():
     inv[perm] = np.arange(n)
     recovered = np.mean(col[np.argsort(row)] == inv)
     assert recovered > 0.5, f'only {recovered:.2f} of matches recovered'
+
+
+def test_lowrank_corr_smoke():
+    from jamie_tpu.solvers.lowrank import lowrank_corr
+    rng = np.random.RandomState(0)
+    x = rng.randn(15, 4).astype(np.float32)
+    Kx = np.asarray(pairwise_distance(x))
+    corr = lowrank_corr(Kx, Kx, dim=4, epochs=50, topk=3)
+    assert corr.shape == (15, 15)
+    np.testing.assert_allclose(corr.sum(axis=1), 3)  # top-k binarized rows
