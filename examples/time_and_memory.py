@@ -18,7 +18,7 @@ import numpy as np
 
 # Watchdog: if a TPU dispatch wedges (e.g. a stale tunnel claim), dump the
 # stack and exit instead of hanging silently. Re-armed per config.
-def _arm_watchdog(seconds=2400):
+def _arm_watchdog(seconds=7200):
     faulthandler.cancel_dump_traceback_later()
     faulthandler.dump_traceback_later(seconds, exit=True)
 
@@ -39,9 +39,9 @@ CONFIGS = {
 
 
 def synthesize(shape0, shape1, seed=0, latent=32):
-    rng = np.random.RandomState(seed)
+    rng = np.random.default_rng(seed)  # PCG64: ~4x faster than RandomState
     n = shape0[0]
-    z = rng.randn(n, latent).astype(np.float32)
+    z = rng.standard_normal((n, latent), dtype=np.float32)
 
     def one(shape):
         # feature-chunked so the noise generation for 242k-dim modalities
@@ -50,9 +50,10 @@ def synthesize(shape0, shape1, seed=0, latent=32):
         chunk = 16384
         for s in range(0, shape[1], chunk):
             e = min(s + chunk, shape[1])
-            w = rng.randn(latent, e - s).astype(np.float32)
+            w = rng.standard_normal((latent, e - s), dtype=np.float32)
             out[:, s:e] = z @ w
-            out[:, s:e] += 0.3 * rng.randn(n, e - s).astype(np.float32)
+            out[:, s:e] += 0.3 * rng.standard_normal((n, e - s),
+                                                     dtype=np.float32)
         return out
 
     return [one(shape0), one(shape1)]

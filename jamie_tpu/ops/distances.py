@@ -54,8 +54,15 @@ def pairwise_sq_euclidean(x: jnp.ndarray, y: Optional[jnp.ndarray] = None,
 
 
 @jax.jit
-def _gram_accum(acc, xb, yb):
-    return acc + xb @ yb.T
+def _gram_accum(acc, xsq_acc, ysq_acc, xb, yb):
+    """One streamed Gram step: accumulate cross products (bf16 inputs, f32
+    accumulation) and squared row norms, all on device."""
+    acc = acc + jnp.matmul(xb.astype(jnp.bfloat16),
+                           yb.astype(jnp.bfloat16).T,
+                           preferred_element_type=jnp.float32)
+    xsq_acc = xsq_acc + jnp.sum(xb * xb, axis=1)
+    ysq_acc = ysq_acc + jnp.sum(yb * yb, axis=1)
+    return acc, xsq_acc, ysq_acc
 
 
 def _pairwise_euclidean_feature_chunked(x, y, squared, self_dist,
@@ -64,22 +71,21 @@ def _pairwise_euclidean_feature_chunked(x, y, squared, self_dist,
 
     For extreme feature counts (e.g. 242k-feature ATAC, SURVEY.md section 6
     scGLUE row) the full matrix never has to reside in HBM; only the chunk
-    and the N x N accumulator do."""
+    and the N x N accumulator do. Norm accumulation rides the same transfer."""
     n, f = x.shape
     m = y.shape[0]
     chunk = max(int(chunk_bytes / ((n + m) * 4)), 1024)
     acc = jnp.zeros((n, m), jnp.float32)
-    x_sq = np.zeros((n,), np.float64)
-    y_sq = np.zeros((m,), np.float64)
+    x_sq = jnp.zeros((n,), jnp.float32)
+    y_sq = jnp.zeros((m,), jnp.float32)
     for start in range(0, f, chunk):
-        xb = np.asarray(x[:, start:start + chunk], np.float32)
-        yb = xb if (self_dist and y is x) else \
-            np.asarray(y[:, start:start + chunk], np.float32)
-        x_sq += np.sum(xb.astype(np.float64) ** 2, axis=1)
-        y_sq += np.sum(yb.astype(np.float64) ** 2, axis=1)
-        acc = _gram_accum(acc, jnp.asarray(xb), jnp.asarray(yb))
-    d2 = (jnp.asarray(x_sq, jnp.float32)[:, None]
-          + jnp.asarray(y_sq, jnp.float32)[None, :] - 2.0 * acc)
+        xb = jnp.asarray(np.ascontiguousarray(
+            x[:, start:start + chunk], dtype=np.float32))
+        yb = xb if (self_dist and y is x) else jnp.asarray(
+            np.ascontiguousarray(y[:, start:start + chunk],
+                                 dtype=np.float32))
+        acc, x_sq, y_sq = _gram_accum(acc, x_sq, y_sq, xb, yb)
+    d2 = x_sq[:, None] + y_sq[None, :] - 2.0 * acc
     d2 = jnp.maximum(d2, 0.0)
     d = d2 if squared else jnp.sqrt(d2)
     if self_dist:

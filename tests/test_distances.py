@@ -87,4 +87,5 @@ def test_feature_chunked_matches_direct():
         chunked = np.asarray(D._pairwise_euclidean_impl(X, squared=True))
     finally:
         D._FEATURE_CHUNK_THRESHOLD = old
-    np.testing.assert_allclose(chunked, direct, atol=1e-2, rtol=1e-4)
+    # the streamed path uses bf16-input matmuls (f32 accumulation)
+    np.testing.assert_allclose(chunked, direct, rtol=2e-2, atol=0.5)
