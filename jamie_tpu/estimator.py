@@ -281,6 +281,14 @@ class JAMIE:
             'Model must be trained before modal prediction.')
         return {'params': self.params, 'batch_stats': self.batch_stats}
 
+    def _jitted(self, name: str, fn):
+        """Per-instance cache of jitted serving functions (the reference's
+        'serve path', SURVEY.md section 3.2, runs as one compiled call)."""
+        cache = self.__dict__.setdefault('_jit_cache', {})
+        if name not in cache:
+            cache[name] = jax.jit(fn)
+        return cache[name]
+
     def modal_predict(self, data, modality: int, pre_transformed: bool = False):
         """Cross-modal imputation (jamie/jamie.py:806-815)."""
         assert self.model is not None, (
@@ -288,9 +296,12 @@ class JAMIE:
         to_modality = (modality + 1) % self.dataset_num
         if not pre_transformed:
             data = self.preprocessors[modality].transform(data)
-        decoded = self.model.apply(
-            self._variables(), jnp.asarray(data, jnp.float32),
-            modality, to_modality, train=False, method=CoupledVAE.impute)
+        impute = self._jitted(
+            f'impute{modality}',
+            lambda v, x: self.model.apply(
+                v, x, modality, to_modality, train=False,
+                method=CoupledVAE.impute))
+        decoded = impute(self._variables(), jnp.asarray(data, jnp.float32))
         return np.asarray(
             self.preprocessors[to_modality].inverse_transform(
                 np.asarray(decoded)))
@@ -310,8 +321,11 @@ class JAMIE:
             dataset = [self.preprocessors[i].transform(dataset[i])
                        for i in range(len(dataset))]
         xs = [jnp.asarray(d, jnp.float32) for d in dataset]
-        outputs = self.model.apply(self._variables(), xs,
-                                   jnp.asarray(corr), train=False)
+        forward = self._jitted(
+            'forward',
+            lambda v, xs_, corr_: self.model.apply(v, xs_, corr_,
+                                                   train=False))
+        outputs = forward(self._variables(), xs, jnp.asarray(corr))
         return [np.asarray(z) for z in outputs[0]]
 
     def transform_one(self, data, i: int, pre_transformed: bool = False):
@@ -320,10 +334,12 @@ class JAMIE:
             'Model must be trained before transform.')
         if not pre_transformed:
             data = self.preprocessors[i].transform(data)
-        mu = self.model.apply(
-            self._variables(), jnp.asarray(data, jnp.float32), i,
-            train=False, method=CoupledVAE.embed_one)
-        return np.asarray(mu)
+        embed = self._jitted(
+            f'embed{i}',
+            lambda v, x: self.model.apply(v, x, i, train=False,
+                                          method=CoupledVAE.embed_one))
+        return np.asarray(embed(self._variables(),
+                                jnp.asarray(data, jnp.float32)))
 
     # -------------------------------------------------------------- metrics
     def test_closer(self, integrated_data, distance_metric=None):
