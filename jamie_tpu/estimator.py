@@ -250,8 +250,10 @@ class JAMIE:
         self.preprocessors = tuple(
             Preprocessor.fit(data, pca_dim=dim, method=cfg.model_pca)
             for dim, data in zip(pca_dims, self.dataset))
-        transformed = [pre.transform(d)
-                       for pre, d in zip(self.preprocessors, self.dataset)]
+        # transform_fit reuses the cached PCA scores of the fit data — no
+        # second full-matrix projection (jamie.py:468 re-transforms; at
+        # 242k features that would re-stream 9 GB through HBM)
+        transformed = [pre.transform_fit() for pre in self.preprocessors]
         self.col = [int(x.shape[1]) for x in transformed]
 
         self.model = CoupledVAE(

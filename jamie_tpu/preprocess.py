@@ -97,16 +97,31 @@ def _pca_fit_streamed(X: np.ndarray, n_components: int, oversample: int = 10,
     s = np.sqrt(np.maximum(np.asarray(w)[::-1][:n_components], 1e-12))
     comps = jnp.asarray((Ub / s).T @ B)              # (n_components, f)
     mean = jnp.asarray(np.concatenate(mean_parts))
-    return mean, comps
+    # Training scores come free from the sketch: Xc ~ Q B, so
+    # Xc comps^T ~ Q Ub s — no third pass and no full-matrix projection.
+    scores = np.asarray(Q) @ (Ub * s)                # (n, n_components)
+    return mean, comps, scores
+
+
+def _component_signs(comps) -> jnp.ndarray:
+    """Deterministic signs (sklearn svd_flip style: largest-|.| of each
+    component made positive)."""
+    comps = jnp.asarray(comps)
+    signs = jnp.sign(comps[jnp.arange(comps.shape[0]),
+                           jnp.argmax(jnp.abs(comps), axis=1)])
+    return jnp.where(signs == 0, 1.0, signs)
 
 
 def _pca_fit(X, n_components: int):
-    """Return (mean, components[k, F]) like sklearn PCA."""
+    """Return (mean, components[k, F], fit_scores_or_None)."""
     n, f = np.shape(X)
     if n * f > _STREAM_THRESHOLD and f > n:
-        mean, comps = _pca_fit_streamed(np.asarray(X), n_components)
-    elif (min(n, f) > _RANDOMIZED_THRESHOLD
-          and n_components <= min(n, f) // 4):
+        mean, comps, scores = _pca_fit_streamed(np.asarray(X), n_components)
+        signs = _component_signs(comps)
+        return (mean, comps * signs[:, None],
+                np.asarray(scores) * np.asarray(signs)[None, :])
+    if (min(n, f) > _RANDOMIZED_THRESHOLD
+            and n_components <= min(n, f) // 4):
         mean, comps = _pca_fit_randomized(
             jnp.asarray(X, jnp.float32), n_components)
     else:
@@ -126,37 +141,50 @@ def _pca_fit(X, n_components: int):
             w, V = jnp.linalg.eigh(C)
             V = V[:, ::-1][:, :n_components]
             comps = V.T
-    # Deterministic signs (sklearn svd_flip style: largest-|.| of each
-    # component made positive)
-    signs = jnp.sign(comps[jnp.arange(comps.shape[0]),
-                           jnp.argmax(jnp.abs(comps), axis=1)])
-    signs = jnp.where(signs == 0, 1.0, signs)
-    comps = comps * signs[:, None]
-    return mean, comps
+    signs = _component_signs(comps)
+    return mean, comps * signs[:, None], None
 
 
 class PCA:
-    """Minimal sklearn-compatible PCA running on device."""
+    """Minimal sklearn-compatible PCA running on device.
+
+    `scores_` holds the fit data's projection when the fit route computes it
+    as a by-product (the streamed randomized route), so atlas-scale callers
+    never re-project the full matrix.
+    """
 
     def __init__(self, n_components: int):
         self.n_components = int(n_components)
         self.mean_: Optional[np.ndarray] = None
         self.components_: Optional[np.ndarray] = None
+        self.scores_: Optional[np.ndarray] = None
 
     def fit(self, X):
-        mean, comps = _pca_fit(np.asarray(X, np.float32), self.n_components)
+        mean, comps, scores = _pca_fit(np.asarray(X, np.float32),
+                                       self.n_components)
         self.mean_ = np.asarray(mean)
         self.components_ = np.asarray(comps)
+        self.scores_ = None if scores is None else np.asarray(scores)
         return self
 
-    def transform(self, X):
+    def transform(self, X, row_chunk_bytes: int = 2 << 30):
         X = np.asarray(X, np.float32)
-        return np.asarray(
-            (jnp.asarray(X) - jnp.asarray(self.mean_))
-            @ jnp.asarray(self.components_).T)
+        comps_t = jnp.asarray(self.components_).T
+        mean = jnp.asarray(self.mean_)
+        n, f = X.shape
+        if n * f * 4 <= row_chunk_bytes:
+            return np.asarray((jnp.asarray(X) - mean) @ comps_t)
+        # Row-chunked projection so huge matrices never sit whole in HBM
+        rows = max(int(row_chunk_bytes / (f * 4)), 64)
+        out = [np.asarray((jnp.asarray(X[s:s + rows]) - mean) @ comps_t)
+               for s in range(0, n, rows)]
+        return np.concatenate(out, axis=0)
 
     def fit_transform(self, X):
-        return self.fit(X).transform(X)
+        self.fit(X)
+        if self.scores_ is not None:
+            return self.scores_
+        return self.transform(X)
 
     def inverse_transform(self, Y):
         Y = np.asarray(Y, np.float32)
@@ -201,14 +229,33 @@ class Preprocessor:
                     f'PCA dim must be lower than {min(*data.shape)}, found '
                     f'{dim}, adjusting to compensate.')
                 dim = min(*data.shape)
+            # (fit sample is cached so the estimator's subsequent transform
+            # of the fit data never re-projects the full matrix)
             if method != 'pca':
                 warnings.warn(
                     f'model_pca={method!r} is gated in the TPU build '
                     '(umap/tsne unavailable); falling back to pca.')
             pca = PCA(n_components=dim)
             sample = pca.fit_transform(data)
-            return cls(sample, pca=pca, axis=None)
-        return cls(data, axis=0)
+            pre = cls(sample, pca=pca, axis=None)
+            pre._fit_sample = sample
+            return pre
+        pre = cls(data, axis=0)
+        pre._fit_sample = data
+        return pre
+
+    def transform_fit(self):
+        """Standardized transform of the data this preprocessor was fit on,
+        using the cached PCA scores — avoids re-projecting the full matrix
+        (critical for 242k-feature modalities)."""
+        assert getattr(self, '_fit_sample', None) is not None
+        out = np.array(self._fit_sample, np.float32)
+        out = out - self.sample_mean
+        with warnings.catch_warnings():
+            warnings.simplefilter('ignore')
+            out = out / self.sample_std
+        out[np.isnan(out)] = 0
+        return out
 
     def transform(self, X):
         out = np.asarray(X, np.float32)
