@@ -75,7 +75,8 @@ def _pca_fit_streamed(X: np.ndarray, n_components: int, oversample: int = 10,
     mean_parts = []
     Y = jnp.zeros((n, k), jnp.float32)
     for ci, start in enumerate(range(0, f, chunk)):
-        xb = jnp.asarray(np.asarray(X[:, start:start + chunk], np.float32))
+        xb = jnp.asarray(np.ascontiguousarray(
+            X[:, start:start + chunk], dtype=np.float32))
         mb = jnp.mean(xb, axis=0)
         omega_b = jax.random.normal(jax.random.fold_in(key, ci),
                                     (xb.shape[1], k), jnp.float32)
@@ -86,7 +87,8 @@ def _pca_fit_streamed(X: np.ndarray, n_components: int, oversample: int = 10,
     # Pass 2: B = Q^T Xc, accumulated on host per chunk (k x f)
     comp_parts = []
     for start in range(0, f, chunk):
-        xb = jnp.asarray(np.asarray(X[:, start:start + chunk], np.float32))
+        xb = jnp.asarray(np.ascontiguousarray(
+            X[:, start:start + chunk], dtype=np.float32))
         xbc = xb - jnp.mean(xb, axis=0)
         comp_parts.append(np.asarray(Q.T @ xbc))
     B = np.concatenate(comp_parts, axis=1)           # (k, f) on host
