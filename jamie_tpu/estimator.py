@@ -112,13 +112,18 @@ class JAMIE:
                     np.zeros([d.shape[0] for d in self.dataset], np.float32)]
         if self.match_result is None:
             self.match_result = self.match()
+        # Hard pairs (hungarian, O(N^3) host) feed only the legacy tsne
+        # projection (jamie.py:195); the reference computes them
+        # unconditionally (jamie.py:175-181) which costs minutes at 9k+
+        # cells for nothing — here they're lazy.
         self.pairs_x, self.pairs_y = [], []
-        for i in range(self.dataset_num - 1):
-            if isinstance(self.match_result[i], str):
-                continue  # sentinel: pairs are only used by the tsne path
-            row_ind, col_ind = hungarian_pairs(self.match_result[i])
-            self.pairs_x.append(row_ind)
-            self.pairs_y.append(col_ind)
+        if cfg.project_mode == 'tsne':
+            for i in range(self.dataset_num - 1):
+                if isinstance(self.match_result[i], str):
+                    continue  # sentinel: all-zero match matrix
+                row_ind, col_ind = hungarian_pairs(self.match_result[i])
+                self.pairs_x.append(row_ind)
+                self.pairs_y.append(col_ind)
         time.log('Correspondence')
 
         if cfg.project_mode == 'tsne':
@@ -247,6 +252,7 @@ class JAMIE:
 
         # Preprocessing per modality (jamie.py:434-469)
         pca_dims = cfg.pca_dim if cfg.pca_dim is not None else (None, None)
+        timer = TimeLogger(block=True)
         self.preprocessors = tuple(
             Preprocessor.fit(data, pca_dim=dim, method=cfg.model_pca)
             for dim, data in zip(pca_dims, self.dataset))
@@ -254,6 +260,7 @@ class JAMIE:
         # second full-matrix projection (jamie.py:468 re-transforms; at
         # 242k features that would re-stream 9 GB through HBM)
         transformed = [pre.transform_fit() for pre in self.preprocessors]
+        timer.log('Preprocessing')
         self.col = [int(x.shape[1]) for x in transformed]
 
         self.model = CoupledVAE(
@@ -264,7 +271,9 @@ class JAMIE:
 
         self.trainer = JamieTrainer(
             cfg, self.model, transformed, self.P, self.F, mesh=self.mesh)
+        timer.log('Trainer setup')
         state = self.trainer.fit()
+        timer.log('Training')
         self.params = state.params
         self.batch_stats = state.batch_stats
         self.train_state = state
@@ -274,7 +283,11 @@ class JAMIE:
         self.sampling_method = self.trainer.sampling_method
 
         integrated_data = self.trainer.final_embed(state)
+        timer.log('Output')
         print('Finished Mapping!')
+        if cfg.debug:
+            timer.aggregate()
+        self._mapping_timings = timer.totals()
         return integrated_data
 
     # ------------------------------------------------------------ inference
