@@ -118,3 +118,41 @@ def test_label_dist(fitted):
     keys, dist = jm.test_label_dist(integrated, labels, verbose=False)
     assert len(keys) == 2
     assert dist.shape == (2, 2)
+
+
+def test_test_partial_sweep(synthetic_pair):
+    """Public partial-alignment sweep API (evaluation.py:28-62)."""
+    import matplotlib
+    matplotlib.use('Agg')
+    from jamie_tpu.evaluation import test_partial
+    data, labels = synthetic_pair
+    np.random.seed(0)
+    acc, fractions = test_partial(
+        data, labels, fraction_range=np.array([0.5, 1.0]), plot=False,
+        epoch_DNN=150, min_epochs=50, epoch_chunk=50, batch_size=64,
+        pca_dim=None, epoch_pd=100, use_early_stop=False, dropout=0.0,
+        log_DNN=100000)
+    assert len(acc['lta']) == 2
+    assert len(acc['foscttm']) == 2
+    assert all(np.isfinite(acc['foscttm']))
+
+
+def test_visualize_smoke(fitted):
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    jm, integrated, data, labels = fitted
+    jm.Visualize(data, integrated, datatype=labels, mode='PCA')
+    plt.close('all')
+
+
+def test_tune_cm_smoke(synthetic_pair):
+    from jamie_tpu import JAMIE
+    from jamie_tpu.utils import tune_cm
+    data, labels = synthetic_pair
+    types = [np.unique(t, return_inverse=True)[1] for t in labels]
+    jm = JAMIE(epoch_DNN=100, min_epochs=20, epoch_chunk=50, batch_size=64,
+               pca_dim=None, epoch_pd=50, use_early_stop=False, dropout=0.0,
+               log_DNN=100000)
+    best_wt, best_data = tune_cm(jm, data, types, wt_size=4, num_search=2)
+    assert best_wt is not None and len(best_wt) == 4
