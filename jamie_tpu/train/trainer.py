@@ -77,14 +77,21 @@ class JamieTrainer:
 
         self.data = [jnp.asarray(np.asarray(d), dtype=jnp.float32) for d in dataset]
 
-        # P/F accept 'identity'/'zeros' sentinels so atlas-scale fits (100k+
-        # cells) never materialize the N x N prior; batch subsets are then
-        # synthesized on the fly from the indices.
+        # P/F accept sentinels so atlas-scale fits (100k+ cells) never
+        # materialize the N x N prior: 'identity' / 'zeros' strings, or a
+        # 1-D P interpreted as a diagonal prior mask (partial priors);
+        # batch subsets are then synthesized on the fly from the indices.
         self._p_identity = isinstance(P, str) and P == 'identity'
         self._f_zeros = isinstance(F, str) and F == 'zeros'
+        self._p_diag_mask = None
         if self._p_identity:
             assert self.rows[0] == self.rows[1], (
                 "P='identity' requires equal-sized modalities")
+            self.P = None
+        elif not isinstance(P, str) and np.ndim(P) == 1:
+            assert self.rows[0] == self.rows[1], (
+                'diagonal prior mask requires equal-sized modalities')
+            self._p_diag_mask = np.asarray(P, np.float32)
             self.P = None
         else:
             self.P = jnp.asarray(np.asarray(P), dtype=jnp.float32)
@@ -102,6 +109,18 @@ class JamieTrainer:
         if self._p_identity:
             self.sampling_method = 'diag'
             corr_pairs = None
+        elif self._p_diag_mask is not None:
+            mask = self._p_diag_mask
+            if (mask > 0).all():
+                self.sampling_method = 'diag'
+                corr_pairs = None
+            elif (mask > 0).any():
+                self.sampling_method = 'hybrid'
+                nz = np.flatnonzero(mask > 0)
+                corr_pairs = np.stack([nz, nz], axis=1)
+            else:
+                self.sampling_method = 'zeros'
+                corr_pairs = None
         else:
             P_np = np.asarray(P)
             self.sampling_method = detect_sampling_method(P_np)
@@ -173,20 +192,26 @@ class JamieTrainer:
         constants — defeating the compilation cache across datasets and
         forcing device->host constant fetches at lowering time."""
         dummy = jnp.zeros((1, 1), jnp.float32)
+        mask = (jnp.asarray(self._p_diag_mask)
+                if self._p_diag_mask is not None
+                else jnp.zeros((1,), jnp.float32))
         return (self.data[0], self.data[1],
                 dummy if self.P is None else self.P,
                 dummy if self.F is None else self.F,
-                self._pairs)
+                self._pairs, mask)
 
     def _batch_loss_and_grads(self, params, batch_stats, key, epoch_idx, ops):
         cfg = self.config
-        data0, data1, P, F, pairs = ops
+        data0, data1, P, F, pairs, mask = ops
         k_s, k_d, k_r = jax.random.split(key, 3)
         idx0, idx1 = self.sampler(k_s, pairs)
         x0 = self._constrain(jnp.take(data0, idx0, axis=0))
         x1 = self._constrain(jnp.take(data1, idx1, axis=0))
         if self._p_identity:
             P_sub = (idx0[:, None] == idx1[None, :]).astype(jnp.float32)
+        elif self._p_diag_mask is not None:
+            P_sub = (mask[idx0][:, None]
+                     * (idx0[:, None] == idx1[None, :]).astype(jnp.float32))
         else:
             P_sub = jnp.take(jnp.take(P, idx0, axis=0), idx1, axis=1)
         if self._f_zeros:
@@ -287,8 +312,8 @@ class JamieTrainer:
 
     def _chunk_fn(self, chunk: int):
         if chunk not in self._chunk_fn_cache:
-            def body(state, data0, data1, P, F, pairs):
-                ops = (data0, data1, P, F, pairs)
+            def body(state, data0, data1, P, F, pairs, mask):
+                ops = (data0, data1, P, F, pairs, mask)
                 epochs = state.epoch + jnp.arange(chunk, dtype=jnp.int32)
                 return jax.lax.scan(
                     lambda st, ep: self._epoch_body(st, ep, ops),
@@ -398,8 +423,12 @@ class JamieTrainer:
         (jamie.py:795-797). Note the reference's returned embeddings are the
         pre-combine latents (model(...)[0], jamie.py:798) so this matrix
         never affects the output — kept for parity/testing."""
-        P = jnp.eye(self.rows[0], dtype=jnp.float32) if self._p_identity \
-            else self.P
+        if self._p_diag_mask is not None:
+            P = jnp.diag(jnp.asarray(self._p_diag_mask))
+        elif self._p_identity:
+            P = jnp.eye(self.rows[0], dtype=jnp.float32)
+        else:
+            P = self.P
         F = jnp.zeros((self.rows[0], self.rows[1]), jnp.float32) \
             if self._f_zeros else self.F
         return self.pf_ratio * col_normalize(P) \

@@ -74,3 +74,48 @@ def test_final_embed_is_corr_independent():
     outputs = model.apply(variables, tr.data, corr, train=False)
     np.testing.assert_allclose(emb[0], np.asarray(outputs[0][0]), atol=1e-5)
     np.testing.assert_allclose(emb[1], np.asarray(outputs[0][1]), atol=1e-5)
+
+
+def test_diag_mask_prior_matches_dense():
+    """1-D P (diagonal prior mask) reproduces the dense diag(P) fit."""
+    rng = np.random.RandomState(5)
+    data = _data(n=60)
+    mask = (rng.rand(60) < 0.5).astype(np.float32)
+    cfg = _cfg(epoch_DNN=20)
+    model = CoupledVAE((10, 8), cfg.output_dim, dropout=0.0)
+    F = np.zeros((60, 60), np.float32)
+
+    dense = JamieTrainer(cfg, model, data, np.diag(mask), F)
+    s_dense = dense.fit()
+    sparse = JamieTrainer(cfg, model, data, mask, F)
+    s_sparse = sparse.fit()
+
+    assert dense.sampling_method == sparse.sampling_method == 'hybrid'
+    np.testing.assert_allclose(dense.epoch_losses, sparse.epoch_losses,
+                               rtol=1e-5)
+    np.testing.assert_allclose(dense.final_embed(s_dense)[0],
+                               sparse.final_embed(s_sparse)[0],
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_diag_mask_all_ones_is_diag():
+    data = _data(n=40)
+    cfg = _cfg(epoch_DNN=6)
+    model = CoupledVAE((10, 8), cfg.output_dim, dropout=0.0)
+    tr = JamieTrainer(cfg, model, data, np.ones(40, np.float32), 'zeros')
+    assert tr.sampling_method == 'diag'
+    tr.fit()
+    assert np.isfinite(tr.epoch_losses).all()
+
+
+def test_diag_mask_through_estimator():
+    from jamie_tpu import JAMIE
+    data = _data(n=50)
+    rng = np.random.RandomState(0)
+    mask = (rng.rand(50) < 0.6).astype(np.float32)
+    jm = JAMIE(P=mask, use_f_tilde=False, epoch_DNN=15, min_epochs=3,
+               batch_size=25, epoch_chunk=5, pca_dim=None,
+               use_early_stop=False, log_DNN=1000)
+    out = jm.fit_transform(dataset=data)
+    assert jm.sampling_method == 'hybrid'
+    assert np.isfinite(out[0]).all()
