@@ -144,3 +144,37 @@ def test_burst_detection():
     bursts = ft.detect_bursts(isis, None, None, None, None, None, None)
     assert len(bursts) >= 1
     assert all(b[0] > 1 for b in bursts)  # burst rate above baseline
+
+
+def test_trough_details_isi_types():
+    t, v, i, true_times = synth_sweep(n_spikes=4)
+    ext = EphysSweepFeatureExtractor(t=t, v=v, i=i, start=0.1, end=1.1)
+    ext.process_spikes()
+    isi_types = ext.spike_feature('isi_type')
+    # all but possibly the last spike get a classification
+    assert sum(x is not None for x in isi_types) >= len(isi_types) - 1
+    fast_v = ext.spike_feature('fast_trough_v')
+    assert np.nanmin(fast_v) < -50  # repolarizes below threshold
+
+
+def test_sweep_set_aggregation():
+    t_set, v_set, i_set = [], [], []
+    for k, amp in ((2, 80), (5, 120)):
+        times = 0.15 + 0.1 * np.arange(k)
+        t, v, i, _ = synth_sweep(n_spikes=k, amp_pa=amp, spike_times=times)
+        t_set.append(t); v_set.append(v); i_set.append(i)
+    sset = EphysSweepSetFeatureExtractor(t_set, v_set, i_set,
+                                         start=0.1, end=1.1)
+    sset.process_spikes()
+    rates = sset.sweep_features('avg_rate')
+    assert rates[1] > rates[0] > 0
+    peaks = sset.spike_feature_averages('peak_v')
+    assert np.isfinite(peaks).all()
+
+
+def test_estimate_adjusted_detection_parameters():
+    t, v, i, _ = synth_sweep(n_spikes=3)
+    dv_cutoff, thresh_frac = ft.estimate_adjusted_detection_parameters(
+        [v], [t], 0.0, 0.05)
+    assert dv_cutoff >= 20.0
+    assert 0 < thresh_frac <= 0.2
