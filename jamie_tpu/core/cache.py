@@ -18,6 +18,11 @@ def enable_persistent_cache(path: str = None) -> bool:
         return False
     try:
         import jax
+        # Scope to accelerator sessions: a CPU executable cached by a
+        # machine with different ISA features can SIGILL when loaded here
+        # (the cache key does not cover host CPU features).
+        if (os.environ.get('JAX_PLATFORMS') or '').startswith('cpu'):
+            return False
         cache_dir = path or os.environ.get(
             'JAMIE_TPU_CACHE_DIR',
             os.path.expanduser('~/.cache/jamie_tpu_xla'))
