@@ -27,8 +27,7 @@ from .config import JamieConfig, config_from_kwargs
 from .core.mesh import create_mesh
 from .core.timing import TimeLogger
 from .models.coupled_vae import CoupledVAE
-from .ops.distances import dataset_distance_matrix, pairwise_distance
-from .ops.distances import _pairwise_euclidean_impl
+from .ops.distances import dataset_distance_matrix
 from .preprocess import Preprocessor
 from .persistence import load_checkpoint, save_checkpoint
 from .solvers.assignment import hungarian_pairs
@@ -55,16 +54,23 @@ class JAMIE:
     UnionCom-inherited ones the fit path reads; see `JamieConfig`.
     """
 
-    def __init__(self, match_result=None, mesh=None, use_mesh: bool = False,
-                 **kwargs):
+    def __init__(self, match_result=None, mesh=None,
+                 use_mesh: Optional[bool] = None, **kwargs):
         if 'device' in kwargs:
             kwargs.pop('device')  # TPU build: placement is jax's job
         self.P = kwargs.pop('P', None)
         self.config = config_from_kwargs(**kwargs)
         self.match_result = match_result
         self.mesh = mesh
+        # use_mesh=None (default) auto-enables sharding whenever more than
+        # one device is visible, so a flag-free JAMIE().fit_transform shards
+        # every O(N^2) phase (solver, distances, training batches) over the
+        # 'data' axis. Pass use_mesh=False to force single-device execution.
+        if use_mesh is None:
+            use_mesh = True
         if mesh is None and use_mesh and len(jax.devices()) > 1:
-            self.mesh = create_mesh(axis_names=self.config.mesh_axis_names)
+            self.mesh = create_mesh(shape=self.config.mesh_shape,
+                                    axis_names=self.config.mesh_axis_names)
         self.model: Optional[CoupledVAE] = None
         self.params = None
         self.batch_stats = None
@@ -183,7 +189,8 @@ class JAMIE:
             print('Dataset {}:'.format(i), np.shape(self.dataset[i]))
             if save_dist:
                 self.dist.append(dataset_distance_matrix(
-                    self.dataset[i], cfg.distance_mode, kmax=cfg.kmax))
+                    self.dataset[i], cfg.distance_mode, kmax=cfg.kmax,
+                    mesh=self.mesh))
 
     # -------------------------------------------------------- correspondence
     def match(self):
@@ -219,7 +226,8 @@ class JAMIE:
             epoch_pd=cfg.epoch_pd, rho=cfg.rho, epsilon=cfg.epsilon,
             delay=cfg.delay, log_pd=cfg.log_pd, verbose=verbose,
             precision=('highest' if cfg.solver_dtype == 'float32'
-                       else 'default'))
+                       else 'default'),
+            mesh=self.mesh)
 
     def com_corr(self, dist):
         """Experimental low-rank correspondence (jamie/jamie.py:252-312).
@@ -357,49 +365,20 @@ class JAMIE:
                                 jnp.asarray(data, jnp.float32)))
 
     # -------------------------------------------------------------- metrics
+    # One implementation lives in evaluation.py (device fast paths); these
+    # are the reference's method-form API (jamie/jamie.py:892-941).
     def test_closer(self, integrated_data, distance_metric=None):
-        """FOSCTTM, both directions (jamie/jamie.py:892-915).
-
-        Device fast path: only the cross-modality NxN distance block is
-        needed (the reference builds the full (2N)^2 matrix)."""
-        assert len(integrated_data) == 2, (
-            'Two datasets are supported for FOSCTTM')
-        if distance_metric is not None:
-            distances = distance_metric(
-                np.concatenate(integrated_data, axis=0))
-            size = integrated_data[0].shape[0]
-            raw = 0
-            for i in range(size):
-                local = distances[i][size:]
-                raw += np.sum(local < local[i])
-                local = distances[size + i][:size]
-                raw += np.sum(local < local[i])
-            foscttm = raw / (2 * size ** 2)
-        else:
-            foscttm = float(_foscttm_device(
-                jnp.asarray(integrated_data[0], jnp.float32),
-                jnp.asarray(integrated_data[1], jnp.float32)))
-        print(f'foscttm: {foscttm}')
-        return foscttm
+        """FOSCTTM, both directions (jamie/jamie.py:892-915)."""
+        from .evaluation import test_closer
+        return test_closer(integrated_data, distance_metric=distance_metric)
 
     def test_label_dist(self, integrated_data, datatype,
                         distance_metric=None, verbose=True):
         """Inter-label centroid distances (jamie/jamie.py:917-941)."""
-        assert len(integrated_data) == 2, (
-            'Two datasets are supported for ``label_dist``')
-        data = np.concatenate(integrated_data, axis=0)
-        labels = np.concatenate(datatype)
-        keys = np.unique(labels)
-        centroids = np.stack([
-            np.average(data[labels == lab, :], axis=0) for lab in keys])
-        if distance_metric is None:
-            dist = np.asarray(pairwise_distance(centroids, 'euclidean'))
-        else:
-            dist = distance_metric(centroids)
-        if verbose:
-            print(f'Inter-label distances ({list(keys)}):')
-            print(dist)
-        return keys, dist
+        from .evaluation import test_label_dist
+        return test_label_dist(integrated_data, datatype,
+                               distance_metric=distance_metric,
+                               verbose=verbose)
 
     def test_LabelTA(self, integrated_data, datatype, k=None,
                      return_k: bool = False):
@@ -441,13 +420,3 @@ class JAMIE:
             output_dim=int(header['output_dim']),
             dropout=header['dropout'])
         return self
-
-
-def _foscttm_device(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Fraction of samples closer than the true match, both directions."""
-    d = _pairwise_euclidean_impl(a, b, squared=True)  # monotone in distance
-    diag = jnp.diagonal(d)
-    closer_ab = jnp.sum(d < diag[:, None])            # A->B rows
-    closer_ba = jnp.sum(d < diag[None, :])            # B->A columns
-    n = a.shape[0]
-    return (closer_ab + closer_ba) / (2.0 * n * n)

@@ -98,7 +98,25 @@ def _pairwise_euclidean_feature_chunked(x, y, squared, self_dist,
 _FEATURE_CHUNK_THRESHOLD = 500_000_000
 
 
-def _pairwise_euclidean_impl(x, y=None, squared=False, block=4096):
+def _rows_sharding(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    return NamedSharding(mesh, P('data', None))
+
+
+@partial(jax.jit, static_argnames=('squared', 'rows'))
+def _euclidean_sharded(x, y, squared: bool, rows):
+    """Row-sharded Gram distance: each chip holds its rows of x and the whole
+    y, producing its row block of the N x M output. with_sharding_constraint
+    (not device_put) so uneven N still shards — GSPMD pads internally."""
+    x = jax.lax.with_sharding_constraint(x, rows)
+    y_sq = jnp.sum(y * y, axis=1)
+    xb_sq = jnp.sum(x * x, axis=1)[:, None]
+    d2 = xb_sq + y_sq[None, :] - 2.0 * (x @ y.T)
+    d2 = jax.lax.with_sharding_constraint(jnp.maximum(d2, 0.0), rows)
+    return d2 if squared else jnp.sqrt(d2)
+
+
+def _pairwise_euclidean_impl(x, y=None, squared=False, block=4096, mesh=None):
     self_dist = y is None
     if (np.ndim(x) == 2
             and x.shape[0] * x.shape[1] > _FEATURE_CHUNK_THRESHOLD):
@@ -107,6 +125,11 @@ def _pairwise_euclidean_impl(x, y=None, squared=False, block=4096):
     y = x if y is None else y
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
+    if mesh is not None:
+        d = _euclidean_sharded(x, y, squared, _rows_sharding(mesh))
+        if self_dist:
+            d = d * (1.0 - jnp.eye(x.shape[0], dtype=d.dtype))
+        return d
     y_sq = jnp.sum(y * y, axis=1)
     n = x.shape[0]
     bs = _block_rows(n, block)
@@ -125,16 +148,32 @@ def _pairwise_euclidean_impl(x, y=None, squared=False, block=4096):
 
 
 @jax.jit
-def _cosine_dist(x):
+def _cosine_dist(x, y=None):
+    y = x if y is None else y
     xn = x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
-    return jnp.clip(1.0 - xn @ xn.T, 0.0, 2.0)
+    yn = y / jnp.maximum(jnp.linalg.norm(y, axis=1, keepdims=True), 1e-12)
+    return jnp.clip(1.0 - xn @ yn.T, 0.0, 2.0)
 
 
 @jax.jit
-def _correlation_dist(x):
+def _correlation_dist(x, y=None):
+    y = x if y is None else y
     xc = x - jnp.mean(x, axis=1, keepdims=True)
+    yc = y - jnp.mean(y, axis=1, keepdims=True)
     xn = xc / jnp.maximum(jnp.linalg.norm(xc, axis=1, keepdims=True), 1e-12)
-    return jnp.clip(1.0 - xn @ xn.T, 0.0, 2.0)
+    yn = yc / jnp.maximum(jnp.linalg.norm(yc, axis=1, keepdims=True), 1e-12)
+    return jnp.clip(1.0 - xn @ yn.T, 0.0, 2.0)
+
+
+@partial(jax.jit, static_argnames=('center', 'rows'))
+def _angular_sharded(x, center: bool, rows):
+    """cosine/correlation distance with row-sharded output (GSPMD)."""
+    if center:
+        x = x - jnp.mean(x, axis=1, keepdims=True)
+    xn = x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    xs = jax.lax.with_sharding_constraint(xn, rows)
+    d = jnp.clip(1.0 - xs @ xn.T, 0.0, 2.0)
+    return jax.lax.with_sharding_constraint(d, rows)
 
 
 @jax.jit
@@ -168,16 +207,24 @@ def _rank_rows(x: jnp.ndarray) -> jnp.ndarray:
     return ranks.astype(jnp.float32)
 
 
-def pairwise_distance(x, metric: str = 'euclidean', block: int = 4096):
-    """N x N distance matrix for one dataset (device for hot metrics)."""
+def pairwise_distance(x, metric: str = 'euclidean', block: int = 4096,
+                      mesh=None):
+    """N x N distance matrix for one dataset (device for hot metrics).
+
+    mesh: optional jax.sharding.Mesh with a 'data' axis; rows of x (and the
+    output) shard over it so the O(N^2) build splits across chips."""
     if metric in ('euclidean', 'l2'):
-        return _pairwise_euclidean_impl(x, squared=False, block=block)
+        return _pairwise_euclidean_impl(x, squared=False, block=block,
+                                        mesh=mesh)
     if metric == 'sqeuclidean':
-        return _pairwise_euclidean_impl(x, squared=True, block=block)
-    if metric == 'cosine':
-        return _cosine_dist(jnp.asarray(x, jnp.float32))
-    if metric == 'correlation':
-        return _correlation_dist(jnp.asarray(x, jnp.float32))
+        return _pairwise_euclidean_impl(x, squared=True, block=block,
+                                        mesh=mesh)
+    if metric in ('cosine', 'correlation'):
+        xj = jnp.asarray(x, jnp.float32)
+        if mesh is not None:
+            return _angular_sharded(xj, metric == 'correlation',
+                                    _rows_sharding(mesh))
+        return (_cosine_dist if metric == 'cosine' else _correlation_dist)(xj)
     if metric in _HOST_FALLBACK_METRICS:
         from sklearn.metrics.pairwise import pairwise_distances
         return jnp.asarray(
@@ -199,7 +246,7 @@ def _knn_graph(dist: np.ndarray, k: int) -> 'np.ndarray':
 
 
 def geodesic_distances(data: np.ndarray, kmax: int = 40,
-                       kmin: int = 5, kstep: int = 5) -> np.ndarray:
+                       kmin: int = 5, kstep: int = 5, mesh=None) -> np.ndarray:
     """Geodesic (kNN-graph shortest-path) distances.
 
     Mirrors unioncom.utils.geodesic_distances semantics (imported at
@@ -211,7 +258,7 @@ def geodesic_distances(data: np.ndarray, kmax: int = 40,
     from scipy.sparse import csr_matrix
     from scipy.sparse.csgraph import connected_components, shortest_path
 
-    dist = np.asarray(pairwise_distance(data, 'euclidean'))
+    dist = np.asarray(pairwise_distance(data, 'euclidean', mesh=mesh))
     n = dist.shape[0]
     if n == 1:
         return np.zeros((1, 1), np.float32)
@@ -233,12 +280,12 @@ def geodesic_distances(data: np.ndarray, kmax: int = 40,
 
 
 def dataset_distance_matrix(data, distance_mode: str = 'euclidean',
-                            kmax: int = 40) -> np.ndarray:
+                            kmax: int = 40, mesh=None) -> np.ndarray:
     """Distance matrix dispatch, matching compute_distances' modes
     (jamie/jamie.py:851-885)."""
     data = np.asarray(data)
     if distance_mode == 'geodesic':
-        return geodesic_distances(data, kmax=kmax)
+        return geodesic_distances(data, kmax=kmax, mesh=mesh)
     if distance_mode == 'spearman':
         if data.shape[0] == 1:
             return np.zeros((1, 1), np.float32)
@@ -255,4 +302,5 @@ def dataset_distance_matrix(data, distance_mode: str = 'euclidean',
             return np.zeros((1, 1), np.float32)
         sim = np.asarray(_corrcoef_similarity(jnp.asarray(data, jnp.float32)))
         return ((1.0 - sim) / 2.0).astype(np.float32)
-    return np.asarray(pairwise_distance(data, metric=distance_mode))
+    return np.asarray(pairwise_distance(data, metric=distance_mode,
+                                        mesh=mesh))

@@ -50,15 +50,27 @@ def _mm(a, b, precision):
 
 
 @partial(jax.jit, static_argnames=('n_iters', 'rho', 'epsilon', 'delay',
-                                   'precision_name', 'use_pallas'))
+                                   'precision_name', 'use_pallas',
+                                   'rows_sharding'))
 def _run_chunk(carry, i0, Kx, Ky, tr_kx_kx, n_iters: int, rho: float,
                epsilon: float, delay: int, precision_name: str,
-               use_pallas: bool = False):
+               use_pallas: bool = False, rows_sharding=None):
     precision = _PRECISIONS[precision_name]
     pho1, pho2, dlt = 0.9, 0.999, 1e-7  # 10e-8 in the reference (jamie.py:349)
 
+    if rows_sharding is not None:
+        # Row-shard the five O(m*n) state arrays over the mesh via GSPMD
+        # annotation (handles uneven m by internal padding — device_put
+        # cannot). The small vectors S/Mu/Lambda stay replicated.
+        shard = lambda x: jax.lax.with_sharding_constraint(x, rows_sharding)
+        Kx = shard(Kx)
+    else:
+        shard = lambda x: x
+
     def step(t, carry):
         F, S, Mu, Lambda, M1, M2, a, FKy, KxFKy = carry
+        F, M1, M2, FKy, KxFKy = (shard(F), shard(M1), shard(M2),
+                                 shard(FKy), shard(KxFKy))
         i = i0 + t + 1  # 1-based Adam timestep (incremented pre-update, :374)
 
         inner = _mm(F.T, FKy, precision)            # (n, n)
@@ -142,15 +154,11 @@ def prime_dual(
     Ky = jnp.asarray(np.asarray(Ky), jnp.float32) / N
     m, n = Kx.shape[0], Ky.shape[0]
 
+    rows_sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        rows = NamedSharding(mesh, P('data', None))
-        repl = NamedSharding(mesh, P())
-        Kx = jax.device_put(Kx, rows)
-        Ky = jax.device_put(Ky, repl)
-        zeros_mn = lambda: jax.device_put(jnp.zeros((m, n), jnp.float32), rows)
-    else:
-        zeros_mn = lambda: jnp.zeros((m, n), jnp.float32)
+        rows_sharding = NamedSharding(mesh, P('data', None))
+    zeros_mn = lambda: jnp.zeros((m, n), jnp.float32)
 
     tr_kx_kx = jnp.sum(Kx * Kx.T)
 
@@ -181,7 +189,8 @@ def prime_dual(
         chunk = min(log_every, epoch_pd - i)
         carry = _run_chunk(carry, jnp.asarray(i, jnp.int32), Kx, Ky,
                            tr_kx_kx, chunk, float(rho), float(epsilon),
-                           int(delay), precision, bool(use_pallas))
+                           int(delay), precision, bool(use_pallas),
+                           rows_sharding)
         i += chunk
         if verbose and i % log_every == 0:
             F, _, _, _, _, _, a, FKy, _ = carry

@@ -42,6 +42,16 @@ from .losses import (
 from .sampling import detect_sampling_method, make_sampler
 
 
+def _maybe_shard_rows(x, mesh):
+    """Row-shard a concrete array over the 'data' axis when its leading dim
+    divides the mesh; otherwise leave it replicated (device_put cannot pad)."""
+    n_dev = int(np.prod([mesh.shape[a] for a in ('data',) if a in mesh.shape]))
+    if n_dev > 1 and x.shape[0] % n_dev == 0:
+        spec = PartitionSpec('data', *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return x
+
+
 @flax.struct.dataclass
 class TrainState:
     params: Any
@@ -76,6 +86,12 @@ class JamieTrainer:
         self.cols = [int(d.shape[1]) for d in dataset]
 
         self.data = [jnp.asarray(np.asarray(d), dtype=jnp.float32) for d in dataset]
+        if mesh is not None:
+            # Keep the HBM-resident dataset row-sharded across the mesh so
+            # per-chip memory scales as N/devices (when N divides the mesh;
+            # device_put of concrete arrays cannot pad, so odd sizes stay
+            # replicated — batch compute still shards via _constrain below).
+            self.data = [_maybe_shard_rows(d, mesh) for d in self.data]
 
         # P/F accept sentinels so atlas-scale fits (100k+ cells) never
         # materialize the N x N prior: 'identity' / 'zeros' strings, or a
@@ -97,6 +113,13 @@ class JamieTrainer:
             self.P = jnp.asarray(np.asarray(P), dtype=jnp.float32)
         self.F = None if self._f_zeros else \
             jnp.asarray(np.asarray(F), dtype=jnp.float32)
+        if mesh is not None:
+            # The O(N^2) prior/correspondence matrices are the largest state
+            # at scale — shard their rows across the mesh too.
+            if self.P is not None and self.P.ndim == 2:
+                self.P = _maybe_shard_rows(self.P, mesh)
+            if self.F is not None and self.F.ndim == 2:
+                self.F = _maybe_shard_rows(self.F, mesh)
 
         # Batch-size setup, from UnionCom via jamie.py:511-514
         self.batch_size = int(config.batch_size)

