@@ -168,3 +168,50 @@ def test_evaluate_impact_host():
     assert baseline > 0.99
     # occluding feature 2 should hurt the most
     assert np.argmin(performance) == 2
+
+
+def test_plot_auroc_density_branch(integrated):
+    """Density mode of the AUROC/correlation template (reference
+    jamie/evaluation.py:529-545), missing in round 1."""
+    data, labels = integrated
+    rng = np.random.RandomState(0)
+    imputed = [[d + 0.3 * rng.randn(*d.shape) for d in data]]
+    plt.figure()
+    ev.plot_auroc(imputed * 2, data, ['m1', 'm2'], names=['A', 'B'],
+                  plot_type='density')
+    plt.close('all')
+
+
+def test_vectorized_auroc_matches_sklearn():
+    from sklearn.metrics import roc_auc_score
+    from jamie_tpu.figures import _binary_auroc_by_column
+    rng = np.random.RandomState(3)
+    score = rng.randn(80, 12)
+    truth = rng.randn(80, 12) + 0.5 * score
+    positive = truth > np.median(truth)
+    mine = _binary_auroc_by_column(score, positive)
+    for j in range(12):
+        expect = roc_auc_score(positive[:, j], score[:, j])
+        np.testing.assert_allclose(mine[j], expect, rtol=1e-12)
+
+
+def test_vectorized_pearson_matches_scipy():
+    from scipy.stats import pearsonr
+    from jamie_tpu.figures import _pearson_by_column
+    rng = np.random.RandomState(4)
+    pred = rng.randn(60, 7)
+    true = rng.randn(60, 7) + 0.3 * pred
+    mine = _pearson_by_column(pred, true)
+    for j in range(7):
+        np.testing.assert_allclose(mine[j], pearsonr(pred[:, j],
+                                                     true[:, j])[0],
+                                   rtol=1e-10)
+
+
+def test_sign_test_matches_binomial():
+    from scipy.stats import binom
+    from jamie_tpu.figures import _sign_test_p
+    n, wins = 40, 28
+    upper = binom.sf(wins - 1, n, 0.5)
+    assert abs(_sign_test_p(wins, n) - 2 * min(upper, 1 - upper)) < 1e-12
+    assert _sign_test_p(0, 0) == 1.0
