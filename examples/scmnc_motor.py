@@ -1,0 +1,106 @@
+"""scMNC mouse motor cortex parity pipeline: transcriptomics +
+electrophysiology, 1208 cells (Patch-seq).
+
+Mirrors the reference's scMNC-Motor notebook (examples/notebooks/
+scMNC-Motor.ipynb cells 3-5): gene expression transposed to cells x genes,
+29 e-features, per-feature z-scoring with NaN -> 0, labels = first word of
+the metadata 'RNA family', JAMIE with batch_size=256 / pca_dim=[512,512].
+
+The notebook reads geneExp_filtered.csv (stripped from this mount); the same
+matrices ship in motor_data_filtered.rda, decoded by jamie_tpu.rdata.
+
+Reference committed outputs (scMNC-Motor.ipynb cell 25):
+  FOSCTTM 0.0025, LTA 0.8957; LTA at 75% / 50% priors: 0.8286 / 0.7599.
+  Total reference CPU fit: 526.5 s (distance 1.45 / F 170.6 / train 354.4).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+DATA = '/root/reference/examples/data/scMNC/mouse_motor_cortex/data/'
+
+KWARGS = dict(
+    output_dim=32, epoch_DNN=10000, min_epochs=2500, log_DNN=500,
+    use_early_stop=True, batch_size=256, pca_dim=(512, 512),
+    dist_method='euclidean', loss_weights=(1, 1, 1, 1), dropout=0,
+    epoch_chunk=500,
+)
+
+
+def load_scmnc_motor():
+    from jamie_tpu.rdata import load_rda
+    path = DATA + 'motor_data_filtered.rda'
+    if not os.path.exists(path):
+        print('scMNC motor data not found at', DATA)
+        sys.exit(0)
+    d = load_rda(path)
+    gdata = d['gdata']['matrix']                        # genes x cells
+    sample_names = np.asarray(d['gdata']['dimnames'][1])
+    edata = d['edata']
+    efeat_names = [k for k in edata if k != '__row_names__']
+    e_rows = np.asarray(edata['__row_names__'])
+    assert (e_rows == sample_names).all()
+    data1 = gdata.T.astype(np.float64)                  # cells x genes
+    data2 = np.stack([np.asarray(edata[k], np.float64)
+                      for k in efeat_names], axis=1)
+    meta = d['meta']
+    cells = np.asarray(meta['Cell'])
+    fam = np.asarray(meta['RNA family'])
+    meta_idx = [np.argwhere(cells == s)[0][0] for s in sample_names]
+    types = np.array([str(x).split()[0] for x in fam[meta_idx]])
+
+    from sklearn import preprocessing
+    data1 = preprocessing.scale(data1, axis=0)
+    data2 = preprocessing.scale(data2, axis=0)
+    data1[np.isnan(data1)] = 0
+    data2[np.isnan(data2)] = 0
+    return ([data1.astype(np.float32), data2.astype(np.float32)],
+            [types, types])
+
+
+def main(quick=False, partial=False):
+    from jamie_tpu import JAMIE
+
+    np.random.seed(42)
+    dataset, types = load_scmnc_motor()
+    print('shapes:', [d.shape for d in dataset])
+    n = len(dataset[0])
+    kwargs = dict(KWARGS)
+    if quick:
+        kwargs.update(epoch_DNN=3000, min_epochs=1000)
+
+    results = {}
+    t0 = time.perf_counter()
+    jm = JAMIE(**kwargs)
+    jm.fit_transform(dataset=dataset)
+    results['fit_seconds'] = round(time.perf_counter() - t0, 1)
+    jm_data = jm.transform(dataset=dataset)
+    results['foscttm'] = round(jm.test_closer(jm_data), 5)
+    results['lta'] = round(jm.test_LabelTA(jm_data, types), 4)
+    results['epochs_run'] = jm.epochs_run
+
+    if partial:
+        for frac, name in ((0.75, 'lta_75'), (0.5, 'lta_50')):
+            idx = np.random.choice(n, int(frac * n), replace=False)
+            mask = np.zeros(n)
+            mask[idx] = 1
+            jm_p = JAMIE(**kwargs)
+            jm_p.fit_transform(dataset=dataset, P=np.diag(mask))
+            p_data = jm_p.transform(dataset=dataset)
+            results[name] = round(jm_p.test_LabelTA(p_data, types), 4)
+
+    results['reference'] = {
+        'foscttm': 0.0025, 'lta': 0.8957,
+        'lta_75': 0.8286, 'lta_50': 0.7599,
+        'cpu_total_seconds': 526.5,
+    }
+    print(json.dumps(results, indent=2))
+    return results
+
+
+if __name__ == '__main__':
+    main(quick='--quick' in sys.argv, partial='--partial' in sys.argv)
