@@ -45,11 +45,12 @@ class TimeLogger:
 
     def _sync(self):
         if self.block and jax is not None:
-            # Drain async dispatch so the section time is honest
-            for d in jax.live_arrays():
-                pass
+            # Drain async dispatch so the section time is honest: block on
+            # every live device array (a fresh zeros(()) only serializes by
+            # the grace of single-stream dispatch; deleted-buffer races are
+            # possible mid-iteration, hence the guard).
             try:
-                jax.block_until_ready(jax.numpy.zeros(()))
+                jax.block_until_ready(list(jax.live_arrays()))
             except Exception:
                 pass
 

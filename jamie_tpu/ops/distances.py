@@ -185,26 +185,22 @@ def _corrcoef_similarity(x):
     return xn @ xn.T
 
 
+@jax.jit
 def _rank_rows(x: jnp.ndarray) -> jnp.ndarray:
-    """Average ranks per row (scipy.stats.rankdata method='average')."""
+    """Average ranks per row (scipy.stats.rankdata method='average').
+
+    Exact tie-averaging via sort + searchsorted: each tie group's average
+    rank is (left_edge + right_edge + 1) / 2 of its span in the sorted row.
+    O(F log F) time and O(F) memory per row — no F x F equality matrix, so
+    reference shapes (e.g. scMNC-Visual 3654 x 1302) rank in one shot."""
     def rank1(row):
         order = jnp.argsort(row)
-        ranks = jnp.empty_like(order).at[order].set(
-            jnp.arange(1, row.shape[0] + 1))
-        ranks = ranks.astype(jnp.float32)
-        # average ties: for each element, mean rank over equal values
-        eq = row[:, None] == row[None, :]
-        return (eq @ ranks) / jnp.sum(eq, axis=1)
-    # tie-averaging is O(F^2) per row; fine for F up to a few thousand,
-    # beyond that ties are vanishingly rare in continuous data — skip them.
-    if x.shape[1] <= 4096:
-        return jax.vmap(rank1)(x)
-    order = jnp.argsort(x, axis=1)
-    ranks = jnp.empty_like(order)
-    ranks = jnp.take_along_axis(
-        jnp.broadcast_to(jnp.arange(1, x.shape[1] + 1), x.shape),
-        jnp.argsort(order, axis=1), axis=1)
-    return ranks.astype(jnp.float32)
+        s = row[order]
+        lo = jnp.searchsorted(s, s, side='left')
+        hi = jnp.searchsorted(s, s, side='right')
+        avg = (lo + hi + 1).astype(jnp.float32) / 2.0
+        return jnp.zeros_like(avg).at[order].set(avg)
+    return jax.vmap(rank1)(x)
 
 
 def pairwise_distance(x, metric: str = 'euclidean', block: int = 4096,
