@@ -318,20 +318,102 @@ class EphysSweepSetFeatureExtractor:
         return np.array(out)
 
 
+def step_stim_amp(sweep) -> float:
+    """Stimulus amplitude of a long step: current just after onset
+    (reference examples/ephys/ephys_extractor.py:1171-1173)."""
+    k = ft.find_time_index(sweep.t, sweep.start)
+    return float(sweep.i[k + 1])
+
+
+def short_step_stim_amp(sweep) -> float:
+    """Stimulus amplitude of a brief pulse: max current after onset
+    (reference examples/ephys/ephys_extractor.py:1176-1178)."""
+    k = ft.find_time_index(sweep.t, sweep.start)
+    return float(np.max(sweep.i[k + 1:]))
+
+
 class EphysCellFeatureExtractor:
-    """Aggregate long-square sweeps into cell-level e-features."""
+    """Aggregate ramp / short-square / long-square sweeps into cell-level
+    e-features (reference examples/ephys/ephys_extractor.py:809-1000)."""
 
     SAG_TARGET = -100.  # mV, deflection at which sag is measured
 
     def __init__(self, ramps_ext=None, short_squares_ext=None,
                  long_squares_ext=None, subthresh_min_amp=-100.):
         self._ramps = ramps_ext
+        self._ramps_all = ramps_ext
         self._short = short_squares_ext
         self._long = long_squares_ext
         self.subthresh_min_amp = subthresh_min_amp
         self._features: Dict[str, float] = {}
 
     def process(self, keys=None):
+        """Analyze the requested stimulus families (default: every family
+        an extractor was supplied for; reference runs all three and crashes
+        on None — we treat an absent family as not requested unless named
+        explicitly)."""
+        dispatch = {
+            'ramps': (self._ramps, self._analyze_ramps),
+            'short_squares': (self._short, self._analyze_short_squares),
+            'long_squares': (self._long, self._analyze_long_squares),
+        }
+        if keys is None:
+            keys = [k for k, (ext, _) in dispatch.items() if ext is not None]
+            if 'long_squares' not in keys:
+                raise ValueError('long-square sweeps are required')
+        elif not isinstance(keys, list):
+            keys = [keys]
+        for k in keys:
+            if k not in dispatch:
+                continue
+            ext, fn = dispatch[k]
+            if ext is None:
+                raise ValueError(f'{k} extractor was not supplied')
+            fn()
+
+    # ----------------------------------------------------------- ramps
+    def _analyze_ramps(self):
+        """Detect spikes on every ramp sweep and keep the spiking ones
+        (reference :862-874): ramps have no fixed end-of-stimulus, so the
+        cell-level summary is simply the spiking subset's spike features."""
+        self._ramps.process_spikes()
+        self._ramps_all = self._ramps
+        spiking = [s for s in self._ramps.sweeps()
+                   if s.sweep_feature('avg_rate') > 0]
+        self._ramps = EphysSweepSetFeatureExtractor.from_sweeps(spiking)
+        self._features['ramps_n_spiking'] = len(spiking)
+
+    def ramps_features(self, all=False):
+        return self._ramps_all if all else self._ramps
+
+    # --------------------------------------------------- short squares
+    def _analyze_short_squares(self):
+        """Find the most common stimulus amplitude among spiking
+        short-square sweeps (ties go to the lower amplitude) and keep only
+        sweeps at that amplitude (reference :884-905)."""
+        from collections import Counter
+
+        self._short.process_spikes()
+        spiking = [s for s in self._short.sweeps()
+                   if s.sweep_feature('avg_rate') > 0]
+        if not spiking:
+            raise ft.FeatureError(
+                'No spiking short square sweeps, '
+                'cannot compute cell features.')
+        counts = Counter(short_step_stim_amp(s) for s in spiking)
+        best = max(counts.values())
+        common_amp = min(a for a, c in counts.items() if c == best)
+        common = [s for s in spiking
+                  if short_step_stim_amp(s) == common_amp]
+        self._short = EphysSweepSetFeatureExtractor.from_sweeps(common)
+        self._features['short_squares_stimulus_amplitude'] = common_amp
+        self._features['short_squares_n_common_amp'] = len(common)
+
+    def short_squares_features(self):
+        return self._short
+
+    # ---------------------------------------------------- long squares
+    def _analyze_long_squares(self):
         if self._long is None:
             raise ValueError('long-square sweeps are required')
         self._long.process_spikes()

@@ -125,6 +125,64 @@ def test_cell_extractor_long_squares():
     assert np.isfinite(feats['adaptation']) or np.isnan(feats['adaptation'])
 
 
+def _ramp_sweep(spiking, seed=0):
+    """Ramp stimulus: current rises linearly from onset; spikes late."""
+    times = (0.6 + 0.12 * np.arange(3)) if spiking else []
+    t, v, i, _ = synth_sweep(spike_times=times, seed=seed)
+    ramp = np.zeros_like(t)
+    on = t >= 0.1
+    ramp[on] = 200.0 * (t[on] - 0.1)
+    return t, v, ramp
+
+
+def _short_square_sweep(amp, spiking, seed=0):
+    """3 ms current pulse at `amp` pA; optional single spike right after."""
+    times = [0.108] if spiking else []
+    t, v, i, _ = synth_sweep(spike_times=times, seed=seed, amp_pa=0.0)
+    pulse = np.where((t >= 0.1) & (t < 0.103), amp, 0.0)
+    return t, v, pulse
+
+
+def test_cell_extractor_ramps():
+    t_set, v_set, i_set = [], [], []
+    for spk, seed in ((True, 1), (False, 2), (True, 3)):
+        t, v, i = _ramp_sweep(spk, seed)
+        t_set.append(t); v_set.append(v); i_set.append(i)
+    ramps = EphysSweepSetFeatureExtractor(t_set, v_set, i_set,
+                                          start=0.1, end=1.1)
+    cell = EphysCellFeatureExtractor(ramps_ext=ramps)
+    cell.process(keys='ramps')
+    assert cell.cell_features()['ramps_n_spiking'] == 2
+    assert len(cell.ramps_features().sweeps()) == 2
+    assert len(cell.ramps_features(all=True).sweeps()) == 3
+
+
+def test_cell_extractor_short_squares():
+    """Most-common spiking amplitude wins; ties go to the lower amplitude."""
+    sweeps = [(60., True), (60., True), (80., True), (80., True),
+              (40., False)]
+    t_set, v_set, i_set = [], [], []
+    for k, (amp, spk) in enumerate(sweeps):
+        t, v, i = _short_square_sweep(amp, spk, seed=k)
+        t_set.append(t); v_set.append(v); i_set.append(i)
+    short = EphysSweepSetFeatureExtractor(t_set, v_set, i_set,
+                                          start=0.1, end=1.1)
+    cell = EphysCellFeatureExtractor(short_squares_ext=short)
+    cell.process(keys='short_squares')
+    feats = cell.cell_features()
+    assert feats['short_squares_stimulus_amplitude'] == pytest.approx(60.)
+    assert feats['short_squares_n_common_amp'] == 2
+    assert len(cell.short_squares_features().sweeps()) == 2
+
+
+def test_cell_extractor_short_squares_none_spiking():
+    t, v, i = _short_square_sweep(40., False)
+    short = EphysSweepSetFeatureExtractor([t], [v], [i], start=0.1, end=1.1)
+    cell = EphysCellFeatureExtractor(short_squares_ext=short)
+    with pytest.raises(ft.FeatureError):
+        cell.process(keys='short_squares')
+
+
 def test_isi_utilities():
     isis = np.array([0.1, 0.12, 0.15, 0.2])
     ai = ft.adaptation_index(isis)
