@@ -42,7 +42,7 @@ class JamieConfig:
     # --- Model / projection (jamie/jamie.py:38-62) ---
     output_dim: int = 32
     pca_dim: Optional[Tuple[Optional[int], ...]] = (512, 512)
-    model_pca: str = 'pca'            # 'pca' | 'umap' (umap gated; pca default)
+    model_pca: str = 'pca'            # 'pca' | 'tsne' (device) | 'umap'
     dropout: Optional[float] = None   # None -> 0.6 if max(dim) > 64 else 0
     dist_method: str = 'euclidean'    # similarity used in the cosine loss term
     PF_Ratio: Optional[float] = None  # None -> 1.0 (jamie/jamie.py:517)

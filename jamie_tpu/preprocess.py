@@ -195,6 +195,77 @@ class PCA:
             + jnp.asarray(self.mean_))
 
 
+class NonlinearEmbedding:
+    """t-SNE / UMAP preclass front end (model_pca='tsne'/'umap',
+    jamie/jamie.py:444-451) with a kNN out-of-sample extension.
+
+    The reference's nonlinear preclass cannot transform unseen data
+    (sklearn TSNE has no transform; its preclass then raises) nor invert
+    (umap inverse 'will sometimes crash kernel', jamie/jamie.py:446).
+    Documented deviation: both directions here interpolate over the k
+    nearest fit samples with inverse-distance weights — transform maps new
+    rows through neighbors in input space, inverse_transform through
+    neighbors in embedding space — so modal_predict works under a
+    nonlinear preclass.
+
+    'umap' uses the umap-learn package when importable; otherwise it warns
+    and embeds with the device t-SNE (nearest available nonlinear
+    manifold embedding — this image does not bundle umap)."""
+
+    K_NEIGHBORS = 10
+
+    def __init__(self, n_components: int, method: str = 'tsne'):
+        self.n_components = int(n_components)
+        self.method = method
+        self.fit_data_: Optional[np.ndarray] = None
+        self.embedding_: Optional[np.ndarray] = None
+
+    def fit_transform(self, X):
+        X = np.asarray(X, np.float32)
+        method = self.method
+        if method == 'umap':
+            try:
+                import umap
+            except ImportError:
+                warnings.warn(
+                    "model_pca='umap' requires the umap-learn package, "
+                    'which is not installed; embedding with device t-SNE '
+                    'instead.')
+                method = 'tsne'
+            else:
+                emb = umap.UMAP(n_components=self.n_components) \
+                    .fit_transform(X)
+        if method == 'tsne':
+            from .solvers.tsne import tsne_embed
+            perplexity = float(min(30.0, max(2.0, (X.shape[0] - 1) / 3)))
+            emb = tsne_embed(X, self.n_components, perplexity=perplexity)
+        self.fit_data_ = X
+        self.embedding_ = np.asarray(emb, np.float32)
+        return self.embedding_
+
+    def _knn_interpolate(self, queries, keys, values):
+        """Inverse-distance-weighted average of `values` over each query's
+        k nearest rows of `keys` (exact matches return their value)."""
+        from .ops.distances import pairwise_sq_euclidean
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        kj = jnp.asarray(keys)
+        vj = jnp.asarray(values)
+        d2 = pairwise_sq_euclidean(q, kj)
+        k = min(self.K_NEIGHBORS, kj.shape[0])
+        neg_d2, idx = jax.lax.top_k(-d2, k)
+        w = 1.0 / jnp.maximum(-neg_d2, 1e-12)
+        w = w / jnp.sum(w, axis=1, keepdims=True)
+        return np.asarray(jnp.einsum('nk,nkd->nd', w, vj[idx]))
+
+    def transform(self, X):
+        assert self.fit_data_ is not None, 'embedding not fit yet'
+        return self._knn_interpolate(X, self.fit_data_, self.embedding_)
+
+    def inverse_transform(self, Y):
+        assert self.fit_data_ is not None, 'embedding not fit yet'
+        return self._knn_interpolate(Y, self.embedding_, self.fit_data_)
+
+
 class Preprocessor:
     """preclass-equivalent: [PCA ->] standardize by fit-sample stats.
 
@@ -233,11 +304,10 @@ class Preprocessor:
                 dim = min(*data.shape)
             # (fit sample is cached so the estimator's subsequent transform
             # of the fit data never re-projects the full matrix)
-            if method != 'pca':
-                warnings.warn(
-                    f'model_pca={method!r} is gated in the TPU build '
-                    '(umap/tsne unavailable); falling back to pca.')
-            pca = PCA(n_components=dim)
+            if method in ('umap', 'tsne'):
+                pca = NonlinearEmbedding(n_components=dim, method=method)
+            else:
+                pca = PCA(n_components=dim)
             sample = pca.fit_transform(data)
             pre = cls(sample, pca=pca, axis=None)
             pre._fit_sample = sample
@@ -285,7 +355,11 @@ class Preprocessor:
             'sample_mean': self.sample_mean,
             'sample_std': self.sample_std,
         }
-        if self.pca is not None:
+        if isinstance(self.pca, NonlinearEmbedding):
+            d['nle_fit_data'] = self.pca.fit_data_
+            d['nle_embedding'] = self.pca.embedding_
+            d['nle_method'] = np.array(self.pca.method)
+        elif self.pca is not None:
             d['pca_mean'] = self.pca.mean_
             d['pca_components'] = self.pca.components_
         return d
@@ -297,7 +371,14 @@ class Preprocessor:
         self.axis = None if axis == -1 else axis
         self.sample_mean = np.asarray(d['sample_mean'])
         self.sample_std = np.asarray(d['sample_std'])
-        if 'pca_components' in d:
+        if 'nle_embedding' in d:
+            emb = np.asarray(d['nle_embedding'])
+            nle = NonlinearEmbedding(n_components=emb.shape[1],
+                                     method=str(np.asarray(d['nle_method'])))
+            nle.fit_data_ = np.asarray(d['nle_fit_data'])
+            nle.embedding_ = emb
+            self.pca = nle
+        elif 'pca_components' in d:
             pca = PCA(n_components=int(np.asarray(d['pca_components']).shape[0]))
             pca.mean_ = np.asarray(d['pca_mean'])
             pca.components_ = np.asarray(d['pca_components'])

@@ -109,6 +109,53 @@ def _tsne_optimize(P1, P2, Y1, Y2, pairs_x, pairs_y, align_weight,
     return Y1, Y2
 
 
+@partial(jax.jit, static_argnames=('n_iters', 'exaggeration_iters'))
+def _tsne_single(P, Y, n_iters: int, exaggeration_iters: int = 250,
+                 lr: float = 0.5):
+    """Single-dataset t-SNE: one jitted Adam loop over the KL gradient."""
+    import optax
+
+    def kl_grad(P, Y):
+        d2 = jnp.sum((Y[:, None, :] - Y[None, :, :]) ** 2, axis=-1)
+        num = 1.0 / (1.0 + d2)
+        num = num * (1.0 - jnp.eye(Y.shape[0]))
+        Q = jnp.maximum(num / jnp.sum(num), 1e-12)
+        PQ = (P - Q) * num
+        return 4.0 * (jnp.diag(jnp.sum(PQ, axis=1)) - PQ) @ Y
+
+    tx = optax.adam(lr)
+    opt_state = tx.init(Y)
+
+    def body(i, carry):
+        Y, opt_state = carry
+        exag = jnp.where(i < exaggeration_iters, 12.0, 1.0)
+        g = kl_grad(P * exag, Y)
+        updates, opt_state = tx.update(g, opt_state, Y)
+        Y = optax.apply_updates(Y, updates)
+        return Y - jnp.mean(Y, axis=0), opt_state
+
+    Y, _ = jax.lax.fori_loop(0, n_iters, body, (Y, opt_state))
+    return Y
+
+
+def tsne_embed(data, n_components: int = 2, perplexity: float = 30.0,
+               n_iters: int = 750, seed: int = 0) -> np.ndarray:
+    """Embed one dataset with t-SNE, fully on device.
+
+    The TPU-native counterpart of the reference's preclass
+    model_pca='tsne' (sklearn TSNE(method='exact'), jamie/jamie.py:449-451):
+    perplexity calibration is a vmapped binary search and the optimization
+    is one jitted fori_loop of O(N^2) student-t kernel steps."""
+    from ..ops.distances import pairwise_distance
+
+    dist = pairwise_distance(np.asarray(data, np.float32), 'euclidean')
+    P = jnp.asarray(joint_probabilities(dist, perplexity), jnp.float32)
+    key = jax.random.PRNGKey(seed)
+    Y0 = 1e-4 * jax.random.normal(key, (P.shape[0], n_components),
+                                  jnp.float32)
+    return np.asarray(_tsne_single(P, Y0, int(n_iters)))
+
+
 def project_tsne(
     datasets: Sequence[np.ndarray],
     P_joint: Sequence[np.ndarray],

@@ -130,3 +130,36 @@ def test_pca_randomized_matches_exact():
     var_exact = np.sum((Xc @ exact.components_.T) ** 2)
     var_rand = np.sum((Xc @ comps.T) ** 2)
     assert var_rand > 0.99 * var_exact
+
+
+def test_nonlinear_tsne_preclass():
+    """model_pca='tsne': device t-SNE embedding + kNN out-of-sample maps."""
+    import warnings as w
+
+    from jamie_tpu.preprocess import Preprocessor
+
+    rng = np.random.RandomState(5)
+    z = rng.randn(60, 2).astype(np.float32)
+    X = (z @ rng.randn(2, 20)).astype(np.float32)
+    pre = Preprocessor.fit(X, pca_dim=2, method='tsne')
+    emb = pre.transform_fit()
+    assert emb.shape == (60, 2)
+    assert np.isfinite(emb).all()
+    # out-of-sample transform: a fit row maps near its own embedding
+    t0 = pre.transform(X[:5])
+    np.testing.assert_allclose(t0, emb[:5], atol=1e-3)
+    # new (noisy) rows produce finite embeddings near the fit cloud
+    t1 = pre.transform(X[:5] + 0.01 * rng.randn(5, 20).astype(np.float32))
+    assert np.isfinite(t1).all()
+    assert np.abs(t1).max() <= np.abs(emb).max() * 1.5 + 1
+    # inverse maps embedding rows back near their source rows
+    inv = pre.inverse_transform(emb[:5])
+    assert np.isfinite(inv).all()
+    # serialization carries the embedding arrays
+    pre2 = Preprocessor.from_dict(pre.to_dict())
+    np.testing.assert_allclose(pre2.transform(X[:5]), t0, atol=1e-5)
+    # umap falls back to tsne with a warning (package not installed here)
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter('always')
+        Preprocessor.fit(X[:30], pca_dim=2, method='umap')
+    assert any('umap' in str(r.message) for r in rec)
