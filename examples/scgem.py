@@ -44,6 +44,50 @@ def load_scgem():
     return [data1.astype(np.float32), data2.astype(np.float32)], [type1, type2]
 
 
+def multi_seed(n_seeds: int = 5, quick: bool = False):
+    """Full + partial-prior quality over n_seeds independent seeds
+    (mean +- sd), making the parity claim robust to the 177-cell dataset's
+    seed variance."""
+    from jamie_tpu import JAMIE
+
+    dataset, types = load_scgem()
+    n = len(dataset[0])
+    kwargs = dict(KWARGS)
+    if quick:
+        kwargs.update(epoch_DNN=2000, min_epochs=500, epoch_pd=500)
+
+    per_seed = {'foscttm': [], 'lta': [], 'lta_75': [], 'lta_50': []}
+    t0 = time.perf_counter()
+    for seed in range(n_seeds):
+        np.random.seed(seed)
+        jm = JAMIE(manual_seed=seed, **kwargs)
+        jm.fit_transform(dataset=dataset)
+        jm_data = jm.transform(dataset=dataset)
+        per_seed['foscttm'].append(jm.test_closer(jm_data))
+        per_seed['lta'].append(jm.test_LabelTA(jm_data, types))
+        for frac, name in ((0.75, 'lta_75'), (0.5, 'lta_50')):
+            idx = np.random.choice(n, int(frac * n), replace=False)
+            mask = np.zeros(n)
+            mask[idx] = 1
+            jm_p = JAMIE(manual_seed=seed, **kwargs)
+            jm_p.fit_transform(dataset=dataset, P=np.diag(mask))
+            p_data = jm_p.transform(dataset=dataset)
+            per_seed[name].append(jm_p.test_LabelTA(p_data, types))
+        print(f'seed {seed}: ' + ' '.join(
+            f'{k}={per_seed[k][-1]:.4f}' for k in per_seed))
+
+    results = {'n_seeds': n_seeds,
+               'total_seconds': round(time.perf_counter() - t0, 1)}
+    for k, v in per_seed.items():
+        results[k + '_mean'] = round(float(np.mean(v)), 5)
+        results[k + '_sd'] = round(float(np.std(v)), 5)
+        results[k + '_runs'] = [round(float(x), 5) for x in v]
+    results['reference'] = {'foscttm': 0.00680, 'lta': 0.8870,
+                            'lta_75': 0.8362, 'lta_50': 0.7966}
+    print(json.dumps(results, indent=2))
+    return results
+
+
 def main(quick: bool = False):
     from jamie_tpu import JAMIE
 
@@ -114,4 +158,9 @@ def main(quick: bool = False):
 
 
 if __name__ == '__main__':
-    main(quick='--quick' in sys.argv)
+    if '--seeds' in sys.argv:
+        k = sys.argv.index('--seeds')
+        multi_seed(n_seeds=int(sys.argv[k + 1]),
+                   quick='--quick' in sys.argv)
+    else:
+        main(quick='--quick' in sys.argv)

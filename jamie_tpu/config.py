@@ -94,6 +94,10 @@ class JamieConfig:
     mesh_shape: Optional[Tuple[int, ...]] = None   # None -> all devices on 'data'
     mesh_axis_names: Tuple[str, ...] = ('data',)
     true_ratio: float = 0.8           # hybrid-sampling corr fraction (jamie.py:529)
+    # Compress the solver's dense F to its k largest entries per row before
+    # training (SparseRows top-k): bounds trainer memory at O(N k) for
+    # atlas-scale partial-prior fits. None keeps F dense.
+    f_top_k: Optional[int] = None
 
     def __post_init__(self):
         if self.integration_type != 'MultiOmics':

@@ -244,6 +244,7 @@ class JAMIE:
         print('Train coupled autoencoders')
         assert len(W) == 2, 'Currently only compatible with 2 modalities.'
 
+        from .ops.sparse import SparseRows, is_sparse_input
         if self.P is None:
             if self.row[0] == self.row[1]:
                 # Past ~50M entries, keep the identity implicit (atlas path)
@@ -253,10 +254,15 @@ class JAMIE:
                     self.P = np.eye(self.row[0], dtype=np.float32)
             else:
                 self.P = np.zeros((self.row[0], self.row[1]), np.float32)
-        if not isinstance(self.P, str):
+        if not (isinstance(self.P, str) or is_sparse_input(self.P)):
             self.P = np.asarray(self.P, np.float32)
-        self.F = W[0][1] if isinstance(W[0][1], str) \
+        self.F = W[0][1] if isinstance(W[0][1], str) or is_sparse_input(W[0][1]) \
             else np.asarray(W[0][1], np.float32)
+        if (cfg.f_top_k is not None and isinstance(self.F, np.ndarray)
+                and self.F.ndim == 2):
+            # Correspondence mass concentrates on a few candidates per cell;
+            # top-k compression bounds trainer memory at O(N k) (atlas path)
+            self.F = SparseRows.top_k(self.F, cfg.f_top_k)
 
         # Preprocessing per modality (jamie.py:434-469)
         pca_dims = cfg.pca_dim if cfg.pca_dim is not None else (None, None)

@@ -93,16 +93,27 @@ class JamieTrainer:
             # replicated — batch compute still shards via _constrain below).
             self.data = [_maybe_shard_rows(d, mesh) for d in self.data]
 
-        # P/F accept sentinels so atlas-scale fits (100k+ cells) never
-        # materialize the N x N prior: 'identity' / 'zeros' strings, or a
-        # 1-D P interpreted as a diagonal prior mask (partial priors);
+        # P/F accept sentinels and sparse layouts so atlas-scale fits
+        # (100k+ cells) never materialize the N x N prior:
+        # 'identity' / 'zeros' strings, a 1-D P interpreted as a diagonal
+        # prior mask, or a SparseRows / scipy.sparse / coordinate-tuple
+        # (general off-diagonal partial priors, and top-k-compressed F);
         # batch subsets are then synthesized on the fly from the indices.
+        from ..ops.sparse import as_sparse_rows, is_sparse_input
         self._p_identity = isinstance(P, str) and P == 'identity'
         self._f_zeros = isinstance(F, str) and F == 'zeros'
         self._p_diag_mask = None
+        self._p_sparse = None
+        self._f_sparse = None
         if self._p_identity:
             assert self.rows[0] == self.rows[1], (
                 "P='identity' requires equal-sized modalities")
+            self.P = None
+        elif is_sparse_input(P):
+            self._p_sparse = as_sparse_rows(P, shape=tuple(self.rows))
+            assert self._p_sparse.shape == tuple(self.rows), (
+                f'sparse P shape {self._p_sparse.shape} != dataset rows '
+                f'{tuple(self.rows)}')
             self.P = None
         elif not isinstance(P, str) and np.ndim(P) == 1:
             assert self.rows[0] == self.rows[1], (
@@ -111,8 +122,16 @@ class JamieTrainer:
             self.P = None
         else:
             self.P = jnp.asarray(np.asarray(P), dtype=jnp.float32)
-        self.F = None if self._f_zeros else \
-            jnp.asarray(np.asarray(F), dtype=jnp.float32)
+        if self._f_zeros:
+            self.F = None
+        elif is_sparse_input(F):
+            self._f_sparse = as_sparse_rows(F, shape=tuple(self.rows))
+            assert self._f_sparse.shape == tuple(self.rows), (
+                f'sparse F shape {self._f_sparse.shape} != dataset rows '
+                f'{tuple(self.rows)}')
+            self.F = None
+        else:
+            self.F = jnp.asarray(np.asarray(F), dtype=jnp.float32)
         if mesh is not None:
             # The O(N^2) prior/correspondence matrices are the largest state
             # at scale — shard their rows across the mesh too.
@@ -120,6 +139,21 @@ class JamieTrainer:
                 self.P = _maybe_shard_rows(self.P, mesh)
             if self.F is not None and self.F.ndim == 2:
                 self.F = _maybe_shard_rows(self.F, mesh)
+
+        def _ell_device(sp):
+            """ELL arrays uploaded once (row-sharded on a mesh); a (1,1)
+            placeholder keeps the jitted operand tuple fixed-shape."""
+            if sp is None:
+                return (jnp.zeros((1, 1), jnp.int32),
+                        jnp.zeros((1, 1), jnp.float32))
+            cols, vals = jnp.asarray(sp.cols), jnp.asarray(sp.vals)
+            if mesh is not None:
+                cols = _maybe_shard_rows(cols, mesh)
+                vals = _maybe_shard_rows(vals, mesh)
+            return (cols, vals)
+
+        self._p_ell = _ell_device(self._p_sparse)
+        self._f_ell = _ell_device(self._f_sparse)
 
         # Batch-size setup, from UnionCom via jamie.py:511-514
         self.batch_size = int(config.batch_size)
@@ -132,6 +166,19 @@ class JamieTrainer:
         if self._p_identity:
             self.sampling_method = 'diag'
             corr_pairs = None
+        elif self._p_sparse is not None:
+            sp = self._p_sparse
+            if sp.nnz == 0:
+                self.sampling_method = 'zeros'
+                corr_pairs = None
+            elif (self.rows[0] == self.rows[1] and sp.nnz == self.rows[0]
+                  and sp.is_diagonal()
+                  and np.allclose(sp.row_sums(), 1.0)):
+                self.sampling_method = 'diag'
+                corr_pairs = None
+            else:
+                self.sampling_method = 'hybrid'
+                corr_pairs = sp.pairs()
         elif self._p_diag_mask is not None:
             mask = self._p_diag_mask
             if (mask > 0).all():
@@ -218,20 +265,24 @@ class JamieTrainer:
         mask = (jnp.asarray(self._p_diag_mask)
                 if self._p_diag_mask is not None
                 else jnp.zeros((1,), jnp.float32))
+
         return (self.data[0], self.data[1],
                 dummy if self.P is None else self.P,
                 dummy if self.F is None else self.F,
-                self._pairs, mask)
+                self._pairs, mask, self._p_ell, self._f_ell)
 
     def _batch_loss_and_grads(self, params, batch_stats, key, epoch_idx, ops):
+        from ..ops.sparse import sparse_gather_batch
         cfg = self.config
-        data0, data1, P, F, pairs, mask = ops
+        data0, data1, P, F, pairs, mask, p_ell, f_ell = ops
         k_s, k_d, k_r = jax.random.split(key, 3)
         idx0, idx1 = self.sampler(k_s, pairs)
         x0 = self._constrain(jnp.take(data0, idx0, axis=0))
         x1 = self._constrain(jnp.take(data1, idx1, axis=0))
         if self._p_identity:
             P_sub = (idx0[:, None] == idx1[None, :]).astype(jnp.float32)
+        elif self._p_sparse is not None:
+            P_sub = sparse_gather_batch(p_ell[0], p_ell[1], idx0, idx1)
         elif self._p_diag_mask is not None:
             P_sub = (mask[idx0][:, None]
                      * (idx0[:, None] == idx1[None, :]).astype(jnp.float32))
@@ -239,6 +290,8 @@ class JamieTrainer:
             P_sub = jnp.take(jnp.take(P, idx0, axis=0), idx1, axis=1)
         if self._f_zeros:
             F_sub = jnp.zeros((self.batch_size, self.batch_size), jnp.float32)
+        elif self._f_sparse is not None:
+            F_sub = sparse_gather_batch(f_ell[0], f_ell[1], idx0, idx1)
         else:
             F_sub = jnp.take(jnp.take(F, idx0, axis=0), idx1, axis=1)
         Pn = row_normalize(P_sub)
@@ -335,8 +388,8 @@ class JamieTrainer:
 
     def _chunk_fn(self, chunk: int):
         if chunk not in self._chunk_fn_cache:
-            def body(state, data0, data1, P, F, pairs, mask):
-                ops = (data0, data1, P, F, pairs, mask)
+            def body(state, data0, data1, P, F, pairs, mask, p_ell, f_ell):
+                ops = (data0, data1, P, F, pairs, mask, p_ell, f_ell)
                 epochs = state.epoch + jnp.arange(chunk, dtype=jnp.int32)
                 return jax.lax.scan(
                     lambda st, ep: self._epoch_body(st, ep, ops),
@@ -441,19 +494,50 @@ class JamieTrainer:
         return state
 
     # ----------------------------------------------------------- inference
-    def final_corr(self):
+    def final_corr(self, max_dense_entries: int = 50_000_000):
         """Column-normalized correspondence for the full-set embed
         (jamie.py:795-797). Note the reference's returned embeddings are the
         pre-combine latents (model(...)[0], jamie.py:798) so this matrix
-        never affects the output — kept for parity/testing."""
-        if self._p_diag_mask is not None:
-            P = jnp.diag(jnp.asarray(self._p_diag_mask))
-        elif self._p_identity:
-            P = jnp.eye(self.rows[0], dtype=jnp.float32)
-        else:
-            P = self.P
-        F = jnp.zeros((self.rows[0], self.rows[1]), jnp.float32) \
-            if self._f_zeros else self.F
+        never affects the output — kept for parity/testing.
+
+        Never materializes N x N beyond `max_dense_entries`: sentinel and
+        sparse P/F are combined in SparseRows form and returned sparse when
+        the dense matrix would not fit the budget."""
+        from ..ops.sparse import SparseRows
+        n0, n1 = self.rows
+        dense_ok = n0 * n1 <= max_dense_entries
+
+        def p_sparse_form():
+            if self._p_sparse is not None:
+                return self._p_sparse
+            if self._p_diag_mask is not None:
+                nz = np.flatnonzero(self._p_diag_mask)
+                return SparseRows.from_coo(
+                    nz, nz, self._p_diag_mask[nz], (n0, n1))
+            if self._p_identity:
+                idx = np.arange(n0)
+                return SparseRows.from_coo(
+                    idx, idx, np.ones(n0, np.float32), (n0, n1))
+            return None  # dense P
+
+        def f_sparse_form():
+            if self._f_sparse is not None:
+                return self._f_sparse
+            if self._f_zeros:
+                return SparseRows.from_coo([], [], [], (n0, n1))
+            return None  # dense F
+
+        Psp, Fsp = p_sparse_form(), f_sparse_form()
+        if Psp is not None and Fsp is not None and not dense_ok:
+            # Fully sparse combination: scale each side's col-normalized
+            # values and concatenate the slot tables.
+            Pn, Fn = Psp.col_normalized(), Fsp.col_normalized()
+            cols = np.concatenate([Pn.cols, Fn.cols], axis=1)
+            vals = np.concatenate([self.pf_ratio * Pn.vals,
+                                   (1 - self.pf_ratio) * Fn.vals], axis=1)
+            return SparseRows(cols, vals, (n0, n1))
+        P = (jnp.asarray(Psp.to_dense()) if Psp is not None else self.P)
+        F = (jnp.asarray(Fsp.to_dense()) if Fsp is not None else self.F)
         return self.pf_ratio * col_normalize(P) \
             + (1 - self.pf_ratio) * col_normalize(F)
 
