@@ -53,3 +53,47 @@ def shard_rows(mesh: Mesh, x, axis: str = 'data'):
     """Place an array with its rows sharded over `axis`, padding not required
     (XLA handles uneven shards for jnp ops; for pallas paths pad upstream)."""
     return jax.device_put(x, data_sharding(mesh, np.ndim(x), axis))
+
+
+def model_axis_size(mesh: Optional[Mesh], axis: str = 'model') -> int:
+    if mesh is None or axis not in mesh.shape:
+        return 1
+    return int(mesh.shape[axis])
+
+
+def param_spec(shape: Tuple[int, ...], n_model: int,
+               wide_threshold: int = 1024) -> P:
+    """Tensor-parallel PartitionSpec for one parameter by shape alone.
+
+    The coupled VAE's memory is dominated by the encoder/decoder kernels of
+    wide modalities (no-pca ATAC: F x 2F, SURVEY.md section 2.3 TP row).
+    Rule: shard the LARGEST dim that is >= wide_threshold and divisible by
+    the model-axis size; 1-D feature vectors (bias / batchnorm scale) shard
+    when they qualify too, so the whole wide block lives sharded. Everything
+    else replicates. GSPMD then propagates activation shardings and inserts
+    the all-reduces between column- and row-parallel layers."""
+    if n_model <= 1 or not shape:
+        return P()
+    dims = [(d, i) for i, d in enumerate(shape)
+            if d >= wide_threshold and d % n_model == 0]
+    if not dims:
+        return P()
+    _, best = max(dims)
+    spec = [None] * len(shape)
+    spec[best] = 'model'
+    return P(*spec)
+
+
+def shard_params_tree(tree, mesh: Mesh, wide_threshold: int = 1024,
+                      axis: str = 'model'):
+    """device_put every leaf of a param/optimizer pytree with its
+    tensor-parallel sharding (replicated when the rule yields P())."""
+    n_model = model_axis_size(mesh, axis)
+
+    def place(x):
+        if not hasattr(x, 'shape'):
+            return x
+        spec = param_spec(tuple(x.shape), n_model, wide_threshold)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(place, tree)

@@ -239,6 +239,16 @@ class JamieTrainer:
         params = variables['params']
         batch_stats = variables.get('batch_stats', {})
         opt_state = self.tx.init(params)
+        if self.mesh is not None:
+            from ..core.mesh import model_axis_size, shard_params_tree
+            if model_axis_size(self.mesh) > 1:
+                # Tensor parallelism for wide modalities: the encoder/decoder
+                # kernels (F x 2F at no-pca feature counts) shard over the
+                # 'model' axis; Adam moments and batchnorm stats follow the
+                # same layout so per-chip parameter memory is O(F^2/devices).
+                params = shard_params_tree(params, self.mesh)
+                batch_stats = shard_params_tree(batch_stats, self.mesh)
+                opt_state = shard_params_tree(opt_state, self.mesh)
         return TrainState(
             params=params,
             batch_stats=batch_stats,
