@@ -28,7 +28,13 @@ def enable_persistent_cache(path: str = None) -> bool:
             os.path.expanduser('~/.cache/jamie_tpu_xla'))
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', cache_dir)
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+        # Persist EVERY executable, including sub-second one-op compiles:
+        # through this container's remote-compile tunnel each backend
+        # compile costs a ~0.35 s round-trip regardless of size, and a cold
+        # fit dispatches hundreds of them — persisting all of them is the
+        # difference between a 128 s and a ~20 s cold fit (measured,
+        # RESULTS.md round 2).
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
         return True
     except Exception:  # cache is best-effort; never break import
         return False

@@ -40,12 +40,20 @@ def _block_rows(n: int, target: int = 4096) -> int:
     return target
 
 
-@partial(jax.jit, static_argnames=('squared',))
-def _euclidean_block(xb, y, y_sq, squared: bool):
+@partial(jax.jit, static_argnames=('squared', 'zero_diag'))
+def _euclidean_block(xb, y, y_sq, squared: bool, zero_diag: bool = False):
     xb_sq = jnp.sum(xb * xb, axis=1)[:, None]
     d2 = xb_sq + y_sq[None, :] - 2.0 * (xb @ y.T)
     d2 = jnp.maximum(d2, 0.0)
-    return d2 if squared else jnp.sqrt(d2)
+    d = d2 if squared else jnp.sqrt(d2)
+    if zero_diag:  # fused so the eager 3-op diag mask never dispatches
+        d = d * (1.0 - jnp.eye(d.shape[0], dtype=d.dtype))
+    return d
+
+
+@partial(jax.jit, static_argnames=('squared', 'zero_diag'))
+def _euclidean_full(x, y, squared: bool, zero_diag: bool):
+    return _euclidean_block(x, y, jnp.sum(y * y, axis=1), squared, zero_diag)
 
 
 def pairwise_sq_euclidean(x: jnp.ndarray, y: Optional[jnp.ndarray] = None,
@@ -130,19 +138,19 @@ def _pairwise_euclidean_impl(x, y=None, squared=False, block=4096, mesh=None):
         if self_dist:
             d = d * (1.0 - jnp.eye(x.shape[0], dtype=d.dtype))
         return d
-    y_sq = jnp.sum(y * y, axis=1)
     n = x.shape[0]
     bs = _block_rows(n, block)
     if bs == n:
-        d = _euclidean_block(x, y, y_sq, squared)
-    else:
-        out = []
-        for start in range(0, n, bs):
-            xb = x[start:start + bs]
-            out.append(_euclidean_block(xb, y, y_sq, squared))
-        d = jnp.concatenate(out, axis=0)
+        # Single fused dispatch (norms + Gram + epilogue + diag zeroing:
+        # the Gram trick leaves O(eps * ||x||^2) residue on the diagonal)
+        return _euclidean_full(x, y, squared, self_dist)
+    y_sq = jnp.sum(y * y, axis=1)
+    out = []
+    for start in range(0, n, bs):
+        xb = x[start:start + bs]
+        out.append(_euclidean_block(xb, y, y_sq, squared))
+    d = jnp.concatenate(out, axis=0)
     if self_dist:
-        # The Gram trick leaves O(eps * ||x||^2) residue on the diagonal
         d = d * (1.0 - jnp.eye(n, dtype=d.dtype))
     return d
 

@@ -16,6 +16,7 @@ Matches sklearn PCA's projection semantics (centered, components from SVD).
 from __future__ import annotations
 
 import warnings
+from functools import partial
 from typing import Optional
 
 import jax
@@ -32,6 +33,9 @@ _STREAM_THRESHOLD = 500_000_000
 _RANDOMIZED_THRESHOLD = 4096
 
 
+@partial(jax.jit,
+         static_argnames=('n_components', 'oversample', 'power_iters',
+                          'seed'))
 def _pca_fit_randomized(X: jnp.ndarray, n_components: int,
                         oversample: int = 10, power_iters: int = 2,
                         seed: int = 0):
@@ -105,6 +109,7 @@ def _pca_fit_streamed(X: np.ndarray, n_components: int, oversample: int = 10,
     return mean, comps, scores
 
 
+@jax.jit
 def _component_signs(comps) -> jnp.ndarray:
     """Deterministic signs (sklearn svd_flip style: largest-|.| of each
     component made positive)."""
@@ -127,24 +132,37 @@ def _pca_fit(X, n_components: int):
         mean, comps = _pca_fit_randomized(
             jnp.asarray(X, jnp.float32), n_components)
     else:
-        X = jnp.asarray(X, jnp.float32)
-        mean = jnp.mean(X, axis=0)
-        Xc = X - mean
-        if f > n:
-            # Gram route: Xc Xc^T = U S^2 U^T; components = S^-1 U^T Xc
-            G = Xc @ Xc.T
-            w, U = jnp.linalg.eigh(G)           # ascending
-            w = w[::-1][:n_components]
-            U = U[:, ::-1][:, :n_components]
-            s = jnp.sqrt(jnp.maximum(w, 1e-12))
-            comps = (U / s).T @ Xc              # (k, F)
-        else:
-            C = Xc.T @ Xc
-            w, V = jnp.linalg.eigh(C)
-            V = V[:, ::-1][:, :n_components]
-            comps = V.T
+        mean, comps = _pca_fit_direct(jnp.asarray(X, jnp.float32),
+                                      n_components)
     signs = _component_signs(comps)
     return mean, comps * signs[:, None], None
+
+
+@partial(jax.jit, static_argnames=('n_components',))
+def _pca_fit_direct(X, n_components: int):
+    """Exact PCA in one dispatch (Gram route for tall-feature matrices)."""
+    n, f = X.shape
+    mean = jnp.mean(X, axis=0)
+    Xc = X - mean
+    if f > n:
+        # Gram route: Xc Xc^T = U S^2 U^T; components = S^-1 U^T Xc
+        G = Xc @ Xc.T
+        w, U = jnp.linalg.eigh(G)           # ascending
+        w = w[::-1][:n_components]
+        U = U[:, ::-1][:, :n_components]
+        s = jnp.sqrt(jnp.maximum(w, 1e-12))
+        comps = (U / s).T @ Xc              # (k, F)
+    else:
+        C = Xc.T @ Xc
+        w, V = jnp.linalg.eigh(C)
+        V = V[:, ::-1][:, :n_components]
+        comps = V.T
+    return mean, comps
+
+
+@jax.jit
+def _pca_project(X, mean, comps_t):
+    return (X - mean) @ comps_t
 
 
 class PCA:
@@ -175,10 +193,11 @@ class PCA:
         mean = jnp.asarray(self.mean_)
         n, f = X.shape
         if n * f * 4 <= row_chunk_bytes:
-            return np.asarray((jnp.asarray(X) - mean) @ comps_t)
+            return np.asarray(_pca_project(jnp.asarray(X), mean, comps_t))
         # Row-chunked projection so huge matrices never sit whole in HBM
         rows = max(int(row_chunk_bytes / (f * 4)), 64)
-        out = [np.asarray((jnp.asarray(X[s:s + rows]) - mean) @ comps_t)
+        out = [np.asarray(_pca_project(jnp.asarray(X[s:s + rows]), mean,
+                                       comps_t))
                for s in range(0, n, rows)]
         return np.concatenate(out, axis=0)
 

@@ -150,29 +150,37 @@ def prime_dual(
         return np.ones((1, 1), np.float32)
 
     N = int(max(Kx.shape[0], Ky.shape[0]))
-    Kx = jnp.asarray(np.asarray(Kx), jnp.float32) / N
-    Ky = jnp.asarray(np.asarray(Ky), jnp.float32) / N
-    m, n = Kx.shape[0], Ky.shape[0]
+    m, n = int(Kx.shape[0]), int(Ky.shape[0])
 
     rows_sharding = None
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         rows_sharding = NamedSharding(mesh, P('data', None))
-    zeros_mn = lambda: jnp.zeros((m, n), jnp.float32)
 
-    tr_kx_kx = jnp.sum(Kx * Kx.T)
+    # One jitted prep: normalization, trace, and all carry zeros. Eagerly
+    # these are ~10 one-op dispatches, each a remote-compile round-trip on
+    # tunneled backends.
+    @partial(jax.jit, static_argnames=('m', 'n', 'N'))
+    def _prep(Kx, Ky, a0, m, n, N):
+        Kx = Kx.astype(jnp.float32) / N
+        Ky = Ky.astype(jnp.float32) / N
+        zeros_mn = lambda: jnp.zeros((m, n), jnp.float32)
+        carry = (
+            zeros_mn(),                       # F
+            jnp.zeros((n, 1), jnp.float32),   # S
+            jnp.zeros((m, 1), jnp.float32),   # Mu
+            jnp.zeros((n, 1), jnp.float32),   # Lambda
+            zeros_mn(),                       # first moment
+            zeros_mn(),                       # second moment
+            a0.astype(jnp.float32),           # a
+            zeros_mn(),                       # FKy
+            zeros_mn(),                       # Kx FKy
+        )
+        return Kx, Ky, jnp.sum(Kx * Kx.T), carry
 
-    carry = (
-        zeros_mn(),                       # F
-        jnp.zeros((n, 1), jnp.float32),   # S
-        jnp.zeros((m, 1), jnp.float32),   # Mu
-        jnp.zeros((n, 1), jnp.float32),   # Lambda
-        zeros_mn(),                       # first moment
-        zeros_mn(),                       # second moment
-        jnp.asarray(np.sqrt(dy / dx), jnp.float32),  # a
-        zeros_mn(),                       # FKy
-        zeros_mn(),                       # Kx FKy
-    )
+    Kx, Ky, tr_kx_kx, carry = _prep(
+        jnp.asarray(np.asarray(Kx)), jnp.asarray(np.asarray(Ky)),
+        jnp.asarray(np.sqrt(dy / dx)), m, n, N)
 
     if use_pallas is None:
         # The fused update wins on TPU; elsewhere the interpreter would

@@ -233,7 +233,10 @@ class JamieTrainer:
         k_init, k_drop, k_rep, k_run = jax.random.split(root, 4)
         dummy = [jnp.zeros((2, c), jnp.float32) for c in self.cols]
         dummy_corr = jnp.eye(2, dtype=jnp.float32)
-        variables = self.model.init(
+        # jit the init: run eagerly it dispatches ~100 one-op executables
+        # (param uniforms, batchnorm, the init forward), each a full
+        # remote-compile round-trip on tunneled backends
+        variables = jax.jit(self.model.init, static_argnames='train')(
             {'params': k_init, 'dropout': k_drop, 'reparam': k_rep},
             dummy, dummy_corr, train=True)
         params = variables['params']
@@ -559,12 +562,13 @@ class JamieTrainer:
         from refactor(encode(x))). Computing them via the mu heads directly
         is numerically identical and skips the N x N corr and the decoders."""
         variables = {'params': state.params, 'batch_stats': state.batch_stats}
-        out = []
-        for i, x in enumerate(self.data):
-            mu = self.model.apply(variables, x, i, train=False,
-                                  method=type(self.model).embed_one)
-            out.append(np.asarray(mu, dtype=np.float32))
-        return out
+        if not hasattr(self, '_embed_jit'):
+            self._embed_jit = jax.jit(
+                lambda v, x, i: self.model.apply(
+                    v, x, i, train=False, method=type(self.model).embed_one),
+                static_argnames='i')
+        return [np.asarray(self._embed_jit(variables, x, i), dtype=np.float32)
+                for i, x in enumerate(self.data)]
 
     # ------------------------------------------------ mid-training resume
     # The reference cannot resume a fit (its checkpoint is a whole-module
