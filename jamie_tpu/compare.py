@@ -1,0 +1,237 @@
+"""Comparison-method harness: the alignment baselines the paper notebooks
+benchmark JAMIE against.
+
+Reference parity: every dataset notebook runs `mmd_combine` from the
+WR2MD extras package (e.g. scGEM.ipynb cells 14-18) over five methods —
+NLMA / LMA ('maninetcluster' nonlinear/linear manifold alignment), CCA,
+MMD-MA ('mmd_ma', Liu & Noble 2019 kernel matching), and UnionCom — then
+scores each with FOSCTTM/LTA next to JAMIE. WR2MD is an uninstallable
+extras dep here, so the methods are re-implemented TPU-native: the
+eigen/SVD solves and the MMD-MA Adam loop all run on device.
+
+Each embedder takes `dataset = [X0, X1]` (row-aligned unless noted) and
+returns `[emb0, emb1]` with `output_dim` columns, mirroring the
+notebooks' `integrated_data` entries.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .nn_funcs import knn_dist
+
+
+def _laplacian_pieces(dataset, P, mu, k):
+    """Joint graph W = [[mu*Wx, (1-mu)*P], [(1-mu)*P^T, mu*Wy]] and its
+    degree vector — the manifold-alignment coupling used by the
+    maninetcluster methods (reference nn_funcs.py:104-131 semantics)."""
+    n0, n1 = dataset[0].shape[0], dataset[1].shape[0]
+    Wx = jnp.asarray(knn_dist(dataset[0], k=k), jnp.float32)
+    Wy = jnp.asarray(knn_dist(dataset[1], k=k), jnp.float32)
+    if P is None:
+        assert n0 == n1, 'unaligned data needs an explicit correspondence P'
+        P = jnp.eye(n0, dtype=jnp.float32)
+    else:
+        P = jnp.asarray(np.asarray(P), jnp.float32)
+    W = jnp.block([[mu * Wx, (1 - mu) * P],
+                   [(1 - mu) * P.T, mu * Wy]])
+    d = jnp.sum(W, axis=1)
+    return W, d, n0
+
+
+@partial(jax.jit, static_argnames=('output_dim',))
+def _nlma_eig(W, d, output_dim: int):
+    d_isqrt = 1.0 / jnp.sqrt(jnp.maximum(d, 1e-12))
+    L_sym = jnp.eye(W.shape[0]) - (d_isqrt[:, None] * W) * d_isqrt[None, :]
+    vals, vecs = jnp.linalg.eigh(L_sym)
+    # skip the trivial constant eigenvector(s); rescale to the random-walk
+    # eigenvectors (generalized problem L f = lambda D f)
+    F = (vecs * d_isqrt[:, None])[:, 1:output_dim + 1]
+    return F / jnp.maximum(jnp.linalg.norm(F, axis=0, keepdims=True), 1e-12)
+
+
+def nlma_embed(dataset: Sequence[np.ndarray], P=None, output_dim: int = 32,
+               mu: float = 0.9, k: int = 5) -> List[np.ndarray]:
+    """Nonlinear manifold alignment (mmd_combine
+    method='maninetcluster', alignment='nonlinear manifold aln';
+    scGEM.ipynb cell 14): joint-graph Laplacian eigenmaps with the
+    correspondence as the cross-block."""
+    W, d, n0 = _laplacian_pieces(dataset, P, mu, k)
+    F = np.asarray(_nlma_eig(W, d, int(output_dim)))
+    return [F[:n0], F[n0:]]
+
+
+@partial(jax.jit, static_argnames=('output_dim',))
+def _lma_eig(Z, W, d, output_dim: int):
+    L = jnp.diag(d) - W
+    A = Z.T @ L @ Z
+    B = Z.T @ (d[:, None] * Z)
+    B = B + 1e-6 * jnp.trace(B) / B.shape[0] * jnp.eye(B.shape[0])
+    # generalized eig via Cholesky whitening: A v = lambda B v
+    C = jnp.linalg.cholesky(B)
+    Ci = jax.scipy.linalg.solve_triangular(C, jnp.eye(C.shape[0]),
+                                           lower=True)
+    vals, vecs = jnp.linalg.eigh(Ci @ A @ Ci.T)
+    V = Ci.T @ vecs[:, :output_dim]        # projection directions
+    return V / jnp.maximum(jnp.linalg.norm(V, axis=0, keepdims=True), 1e-12)
+
+
+def lma_embed(dataset: Sequence[np.ndarray], P=None, output_dim: int = 32,
+              mu: float = 0.9, k: int = 5) -> List[np.ndarray]:
+    """Linear manifold alignment (mmd_combine method='maninetcluster',
+    alignment='manifold aln'): the NLMA objective restricted to per-modality
+    linear maps, solved as a generalized eigenproblem on the stacked
+    block-diagonal feature matrix."""
+    W, d, n0 = _laplacian_pieces(dataset, P, mu, k)
+    X0 = jnp.asarray(dataset[0], jnp.float32)
+    X1 = jnp.asarray(dataset[1], jnp.float32)
+    X0 = X0 - jnp.mean(X0, axis=0)
+    X1 = X1 - jnp.mean(X1, axis=0)
+    f0, f1 = X0.shape[1], X1.shape[1]
+    Z = jnp.block([[X0, jnp.zeros((X0.shape[0], f1))],
+                   [jnp.zeros((X1.shape[0], f0)), X1]])
+    V = _lma_eig(Z, W, d, int(output_dim))
+    return [np.asarray(X0 @ V[:f0]), np.asarray(X1 @ V[f0:])]
+
+
+@partial(jax.jit, static_argnames=('output_dim',))
+def _cca_core(X, Y, output_dim: int, reg: float = 1e-3):
+    X = X - jnp.mean(X, axis=0)
+    Y = Y - jnp.mean(Y, axis=0)
+    n = X.shape[0]
+    Cxx = X.T @ X / n + reg * jnp.eye(X.shape[1])
+    Cyy = Y.T @ Y / n + reg * jnp.eye(Y.shape[1])
+    Cxy = X.T @ Y / n
+
+    def isqrt(C):
+        w, V = jnp.linalg.eigh(C)
+        return (V / jnp.sqrt(jnp.maximum(w, 1e-10))) @ V.T
+
+    Wx, Wy = isqrt(Cxx), isqrt(Cyy)
+    U, s, Vt = jnp.linalg.svd(Wx @ Cxy @ Wy)
+    A = Wx @ U[:, :output_dim]
+    B = Wy @ Vt.T[:, :output_dim]
+    return X @ A, Y @ B
+
+
+def cca_embed(dataset: Sequence[np.ndarray],
+              output_dim: int = 32) -> List[np.ndarray]:
+    """Canonical correlation analysis on row-aligned data (mmd_combine
+    method='maninetcluster', alignment='cca'; scGEM.ipynb cell 16)."""
+    assert dataset[0].shape[0] == dataset[1].shape[0], 'CCA needs aligned rows'
+    d = min(int(output_dim), dataset[0].shape[1], dataset[1].shape[1])
+    e0, e1 = _cca_core(jnp.asarray(dataset[0], jnp.float32),
+                       jnp.asarray(dataset[1], jnp.float32), d)
+    return [np.asarray(e0), np.asarray(e1)]
+
+
+@partial(jax.jit, static_argnames=('output_dim', 'n_iters'))
+def _mmdma_opt(K1, K2, a1, a2, output_dim: int, n_iters: int,
+               lr: float = 1e-4, lambda1: float = 1e-2,
+               lambda2: float = 1e-3, sigma: float = 1.0):
+    """MMD-MA (Liu & Noble 2019): learn alpha_i so K_i alpha_i match in
+    MMD, with orthogonality and distortion penalties. One jitted Adam
+    loop; every term is an MXU matmul or a small reduction."""
+    import optax
+
+    n1, n2 = K1.shape[0], K2.shape[0]
+    I_p = jnp.eye(output_dim)
+
+    def rbf_mmd2(X, Y):
+        def k(a, b):
+            d2 = (jnp.sum(a * a, 1)[:, None] + jnp.sum(b * b, 1)[None, :]
+                  - 2 * a @ b.T)
+            return jnp.exp(-d2 / (2 * sigma ** 2))
+        return (jnp.mean(k(X, X)) + jnp.mean(k(Y, Y)) - 2 * jnp.mean(k(X, Y)))
+
+    def loss_fn(params):
+        a1, a2 = params
+        E1, E2 = K1 @ a1, K2 @ a2
+        pen = (jnp.sum((a1.T @ K1 @ a1 - I_p) ** 2)
+               + jnp.sum((a2.T @ K2 @ a2 - I_p) ** 2))
+        dis = (jnp.sum((K1 - E1 @ E1.T) ** 2) / (n1 * n1)
+               + jnp.sum((K2 - E2 @ E2.T) ** 2) / (n2 * n2))
+        return rbf_mmd2(E1, E2) + lambda1 * pen + lambda2 * dis
+
+    tx = optax.adam(lr)
+    opt = tx.init((a1, a2))
+
+    def body(i, carry):
+        params, opt = carry
+        grads = jax.grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), opt
+
+    (a1, a2), _ = jax.lax.fori_loop(0, n_iters, body, ((a1, a2), opt))
+    return K1 @ a1, K2 @ a2
+
+
+def mmdma_embed(dataset: Sequence[np.ndarray], output_dim: int = 32,
+                n_iters: int = 10001, seed: int = 0) -> List[np.ndarray]:
+    """MMD-MA on row-normalized linear kernels, matching the notebooks'
+    preparation (scGEM.ipynb cell 17: d /= ||d||_row; K = d d^T;
+    max_iterations=10001)."""
+    Ks = []
+    for d in dataset:
+        d = np.asarray(d, np.float32)
+        d = d / np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-12)
+        Ks.append(jnp.asarray(d @ d.T))
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    p = int(output_dim)
+    a1 = jax.random.uniform(k1, (Ks[0].shape[0], p), jnp.float32) * 1e-2
+    a2 = jax.random.uniform(k2, (Ks[1].shape[0], p), jnp.float32) * 1e-2
+    E1, E2 = _mmdma_opt(Ks[0], Ks[1], a1, a2, p, int(n_iters))
+    return [np.asarray(E1), np.asarray(E2)]
+
+
+def unioncom_embed(dataset: Sequence[np.ndarray], output_dim: int = 32,
+                   **kwargs) -> List[np.ndarray]:
+    """UnionCom (mmd_combine method='unioncom'; scGEM.ipynb cell 18):
+    the prime-dual F + hungarian pairs + pair-aligned t-SNE pipeline —
+    exactly this package's project_mode='tsne' flow, run unsupervised."""
+    from .estimator import JAMIE
+    jm = JAMIE(project_mode='tsne', output_dim=output_dim,
+               distance_mode=kwargs.pop('distance_mode', 'euclidean'),
+               **kwargs)
+    return jm.fit_transform(dataset=list(dataset))
+
+
+METHODS = {
+    'NLMA': nlma_embed,
+    'LMA': lma_embed,
+    'CCA': cca_embed,
+    'MMD-MA': mmdma_embed,
+    'UnionCom': unioncom_embed,
+}
+
+
+def compare_methods(
+    dataset: Sequence[np.ndarray],
+    labels: Optional[Sequence[np.ndarray]] = None,
+    methods: Sequence[str] = ('NLMA', 'CCA', 'MMD-MA'),
+    output_dim: int = 32,
+    method_kwargs: Optional[Dict[str, dict]] = None,
+) -> Dict[str, dict]:
+    """Run each baseline and score it like the notebooks' accuracy cells
+    (FOSCTTM via test_closer, LTA via test_LabelTA when labels given).
+    Returns {method: {'embeddings', 'foscttm', 'lta'}}."""
+    from .evaluation import knn_label_transfer_accuracy, test_closer
+    method_kwargs = method_kwargs or {}
+    out = {}
+    for name in methods:
+        fn = METHODS[name]
+        emb = fn(dataset, output_dim=output_dim, **method_kwargs.get(name, {}))
+        entry = {'embeddings': emb}
+        if emb[0].shape[0] == emb[1].shape[0]:
+            entry['foscttm'] = float(test_closer(emb))
+        if labels is not None:
+            entry['lta'] = float(
+                knn_label_transfer_accuracy(emb, labels)[0])
+        out[name] = entry
+    return out

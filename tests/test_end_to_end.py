@@ -127,13 +127,15 @@ def test_test_partial_sweep(synthetic_pair):
     from jamie_tpu.evaluation import test_partial
     data, labels = synthetic_pair
     np.random.seed(0)
+    # fraction 0 (the default linspace(0,1,3) includes it) must route to
+    # the 'zeros' regime, not crash the hybrid sampler on an empty pair set
     acc, fractions = test_partial(
-        data, labels, fraction_range=np.array([0.5, 1.0]), plot=False,
+        data, labels, fraction_range=np.array([0.0, 0.5, 1.0]), plot=False,
         epoch_DNN=150, min_epochs=50, epoch_chunk=50, batch_size=64,
         pca_dim=None, epoch_pd=100, use_early_stop=False, dropout=0.0,
         log_DNN=100000)
-    assert len(acc['lta']) == 2
-    assert len(acc['foscttm']) == 2
+    assert len(acc['lta']) == 3
+    assert len(acc['foscttm']) == 3
     assert all(np.isfinite(acc['foscttm']))
 
 
