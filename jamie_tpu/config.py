@@ -85,6 +85,10 @@ class JamieConfig:
 
     # --- TPU-native knobs (no reference equivalent) ---
     compute_dtype: str = 'float32'    # 'float32' | 'bfloat16' model compute
+    # Model matmuls only in bf16 with f32 accumulation (MXU-native rate);
+    # activations/batchnorm/losses stay f32 — a far smaller quality
+    # perturbation than compute_dtype='bfloat16'
+    model_matmul_dtype: str = 'float32'   # 'float32' | 'bfloat16'
     # Prime-dual matmul precision: 'bfloat16' = MXU-native bf16 inputs with
     # f32 accumulation (the solver state stays f32; the projection/fixed-
     # point iteration tolerates reduced matmul precision — quality validated

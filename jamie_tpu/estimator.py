@@ -281,7 +281,8 @@ class JAMIE:
             input_dim=tuple(self.col), output_dim=cfg.output_dim,
             dropout=cfg.dropout,
             compute_dtype=jnp.bfloat16 if cfg.compute_dtype == 'bfloat16'
-            else jnp.float32)
+            else jnp.float32,
+            matmul_bf16=cfg.model_matmul_dtype == 'bfloat16')
 
         self.trainer = JamieTrainer(
             cfg, self.model, transformed, self.P, self.F, mesh=self.mesh)

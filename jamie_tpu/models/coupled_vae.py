@@ -40,10 +40,16 @@ def _torch_linear_kernel_init(key, shape, dtype=jnp.float32):
 
 
 class TorchDense(nn.Module):
-    """Dense layer with torch.nn.Linear's default init (incl. bias)."""
+    """Dense layer with torch.nn.Linear's default init (incl. bias).
+
+    matmul_bf16: run ONLY the matmul in bf16 with f32 accumulation (the
+    MXU-native mode); activations, bias add, and everything downstream
+    stay in compute_dtype. A much smaller quality perturbation than
+    compute_dtype='bfloat16', at the same MXU rate."""
     features: int
     param_dtype: Any = jnp.float32
     compute_dtype: Any = jnp.float32
+    matmul_bf16: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -57,7 +63,13 @@ class TorchDense(nn.Module):
             lambda k, s, d: jax.random.uniform(k, s, d, -bound, bound),
             (self.features,), self.param_dtype)
         x = x.astype(self.compute_dtype)
-        y = x @ kernel.astype(self.compute_dtype)
+        if self.matmul_bf16:
+            y = jnp.matmul(x.astype(jnp.bfloat16),
+                           kernel.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32
+                           ).astype(self.compute_dtype)
+        else:
+            y = x @ kernel.astype(self.compute_dtype)
         return y + bias.astype(self.compute_dtype)
 
 
@@ -67,10 +79,12 @@ class _Block(nn.Module):
     dropout: float
     param_dtype: Any = jnp.float32
     compute_dtype: Any = jnp.float32
+    matmul_bf16: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = TorchDense(self.features, self.param_dtype, self.compute_dtype)(x)
+        x = TorchDense(self.features, self.param_dtype, self.compute_dtype,
+                       self.matmul_bf16)(x)
         # torch BatchNorm1d defaults: eps=1e-5, momentum=0.1 (flax: 0.9)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -110,6 +124,7 @@ class CoupledVAE(nn.Module):
     dropout: Optional[float] = None
     param_dtype: Any = jnp.float32
     compute_dtype: Any = jnp.float32
+    matmul_bf16: bool = False
 
     @property
     def num_modalities(self) -> int:
@@ -122,22 +137,24 @@ class CoupledVAE(nn.Module):
 
     def setup(self):
         p = self._dropout_rate()
-        pd, cd = self.param_dtype, self.compute_dtype
+        pd, cd, mb = self.param_dtype, self.compute_dtype, self.matmul_bf16
         n = self.num_modalities
 
         self.encoder_blocks = [
-            [_Block(2 * self.input_dim[i], p, pd, cd, name=f'enc{i}_b0'),
-             _Block(self.input_dim[i], p, pd, cd, name=f'enc{i}_b1')]
+            [_Block(2 * self.input_dim[i], p, pd, cd, mb, name=f'enc{i}_b0'),
+             _Block(self.input_dim[i], p, pd, cd, mb, name=f'enc{i}_b1')]
             for i in range(n)
         ]
-        self.fc_mus = [TorchDense(self.output_dim, pd, cd, name=f'fc_mu{i}')
+        self.fc_mus = [TorchDense(self.output_dim, pd, cd, mb,
+                                  name=f'fc_mu{i}')
                        for i in range(n)]
-        self.fc_vars = [TorchDense(self.output_dim, pd, cd, name=f'fc_var{i}')
+        self.fc_vars = [TorchDense(self.output_dim, pd, cd, mb,
+                                   name=f'fc_var{i}')
                         for i in range(n)]
         self.decoder_blocks = [
-            [_Block(self.input_dim[i], p, pd, cd, name=f'dec{i}_b0'),
-             _Block(2 * self.input_dim[i], p, pd, cd, name=f'dec{i}_b1'),
-             TorchDense(self.input_dim[i], pd, cd, name=f'dec{i}_out')]
+            [_Block(self.input_dim[i], p, pd, cd, mb, name=f'dec{i}_b0'),
+             _Block(2 * self.input_dim[i], p, pd, cd, mb, name=f'dec{i}_b1'),
+             TorchDense(self.input_dim[i], pd, cd, mb, name=f'dec{i}_out')]
             for i in range(n)
         ]
         # Trainable modality-mixing weights, init U[0,1) (jamie/model.py:220)

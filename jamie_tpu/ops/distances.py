@@ -306,5 +306,6 @@ def dataset_distance_matrix(data, distance_mode: str = 'euclidean',
             return np.zeros((1, 1), np.float32)
         sim = np.asarray(_corrcoef_similarity(jnp.asarray(data, jnp.float32)))
         return ((1.0 - sim) / 2.0).astype(np.float32)
-    return np.asarray(pairwise_distance(data, metric=distance_mode,
-                                        mesh=mesh))
+    # Device metrics return the device array: the solver consumes it next,
+    # and a host round-trip costs 2x the matrix over the transfer link
+    return pairwise_distance(data, metric=distance_mode, mesh=mesh)

@@ -178,14 +178,19 @@ def prime_dual(
         )
         return Kx, Ky, jnp.sum(Kx * Kx.T), carry
 
+    # jnp.asarray keeps already-device-resident distance matrices in place
+    # (the estimator hands them over without a host round-trip)
     Kx, Ky, tr_kx_kx, carry = _prep(
-        jnp.asarray(np.asarray(Kx)), jnp.asarray(np.asarray(Ky)),
+        jnp.asarray(Kx), jnp.asarray(Ky),
         jnp.asarray(np.sqrt(dy / dx)), m, n, N)
 
     if use_pallas is None:
-        # The fused update wins on TPU; elsewhere the interpreter would
-        # dominate, so keep the XLA path.
-        use_pallas = jax.default_backend() == 'tpu'
+        # Measured on the v5e (N=4096, round 2): XLA's own fusion of the
+        # elementwise tail runs the full iteration at 82 effective TFLOPs
+        # vs 65 with the hand-written pallas update — the pallas kernel
+        # breaks XLA's ability to fuse the tail into the surrounding
+        # matmul epilogues. Keep it available for A/B but default off.
+        use_pallas = False
     if mesh is not None:
         # GSPMD cannot auto-partition a pallas_call; the sharded path keeps
         # the XLA elementwise chain (fused by XLA per shard anyway).

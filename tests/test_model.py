@@ -117,3 +117,28 @@ def test_batchnorm_updates_running_stats():
     before = jax.tree_util.tree_leaves(variables['batch_stats'])
     after = jax.tree_util.tree_leaves(mutated['batch_stats'])
     assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+
+def test_matmul_bf16_close_to_f32():
+    """matmul_bf16 perturbs only the matmul rounding; outputs stay close to
+    the f32 model with identical params."""
+    import jax
+    import jax.numpy as jnp
+
+    from jamie_tpu.models import CoupledVAE
+
+    rng = np.random.RandomState(0)
+    xs = [jnp.asarray(rng.randn(16, 20), jnp.float32),
+          jnp.asarray(rng.randn(16, 12), jnp.float32)]
+    corr = jnp.eye(16, dtype=jnp.float32)
+    key = jax.random.PRNGKey(0)
+    m32 = CoupledVAE((20, 12), 8, dropout=0.0)
+    mbf = CoupledVAE((20, 12), 8, dropout=0.0, matmul_bf16=True)
+    variables = m32.init({'params': key, 'dropout': key, 'reparam': key},
+                         xs, corr, train=True)
+    out32 = m32.apply(variables, xs, corr, train=False)
+    outbf = mbf.apply(variables, xs, corr, train=False)
+    for a, b in zip(out32[0], outbf[0]):   # latents
+        assert np.asarray(a).dtype == np.float32
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=0.05, rtol=0.05)
