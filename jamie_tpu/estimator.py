@@ -124,10 +124,14 @@ class JAMIE:
         # cells for nothing — here they're lazy.
         self.pairs_x, self.pairs_y = [], []
         if cfg.project_mode == 'tsne':
+            from .ops.sparse import SparseRows
             for i in range(self.dataset_num - 1):
                 if isinstance(self.match_result[i], str):
                     continue  # sentinel: all-zero match matrix
-                row_ind, col_ind = hungarian_pairs(self.match_result[i])
+                mat = self.match_result[i]
+                if isinstance(mat, SparseRows):
+                    mat = mat.to_dense()  # hungarian needs the dense cost
+                row_ind, col_ind = hungarian_pairs(mat)
                 self.pairs_x.append(row_ind)
                 self.pairs_y.append(col_ind)
         time.log('Correspondence')

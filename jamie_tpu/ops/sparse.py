@@ -98,6 +98,19 @@ class SparseRows:
         return np.stack([rows[keep], self.cols.ravel()[keep]],
                         axis=1).astype(np.int32)
 
+    def transpose(self) -> 'SparseRows':
+        """Re-bucket the slots by column (ELL is row-major, so transpose
+        rebuilds via the coordinate list)."""
+        p = self.pairs()
+        vals = self.vals.ravel()[
+            (self.cols.ravel() >= 0) & (self.vals.ravel() != 0)]
+        return SparseRows.from_coo(p[:, 1], p[:, 0], vals,
+                                   (self.shape[1], self.shape[0]))
+
+    @property
+    def T(self) -> 'SparseRows':
+        return self.transpose()
+
     # ------------------------------------------------------------ reductions
     @property
     def nnz(self) -> int:

@@ -189,3 +189,10 @@ def test_estimator_sparse_p_and_f_top_k():
     assert jm.sampling_method == 'hybrid'
     assert isinstance(jm.F, SparseRows)
     assert np.isfinite(out[0]).all()
+
+
+def test_transpose_roundtrip():
+    dense = _random_sparse(14, 9, 0.25, seed=13)
+    sp = SparseRows.from_dense(dense)
+    np.testing.assert_allclose(sp.T.to_dense(), dense.T, atol=1e-7)
+    np.testing.assert_allclose(sp.T.T.to_dense(), dense, atol=1e-7)
