@@ -39,6 +39,9 @@ def main():
     ap.add_argument('--batch-size', type=int, default=512)
     ap.add_argument('--mesh', action='store_true',
                     help='shard over all visible devices')
+    ap.add_argument('--sparse-prior', type=float, default=None, metavar='F',
+                    help='partial prior: fraction F of cells matched, as a '
+                         'SparseRows diagonal (hybrid sampling, no N^2)')
     args = ap.parse_args()
 
     import jax
@@ -51,12 +54,22 @@ def main():
     data = make_multiome(args.cells)
     mesh = create_mesh() if args.mesh and len(jax.devices()) > 1 else None
 
+    if args.sparse_prior is not None:
+        from jamie_tpu.ops.sparse import SparseRows
+        rng = np.random.RandomState(1)
+        on = rng.choice(args.cells, int(args.sparse_prior * args.cells),
+                        replace=False)
+        P = SparseRows.from_coo(on, on, np.ones(len(on), np.float32),
+                                (args.cells, args.cells))
+    else:
+        P = 'identity'
+
     cfg = JamieConfig(epoch_DNN=args.epochs, min_epochs=args.epochs // 2,
                       batch_size=args.batch_size, use_early_stop=False,
                       pca_dim=None, log_DNN=10 ** 9, epoch_chunk=20)
     model = CoupledVAE((data[0].shape[1], data[1].shape[1]), cfg.output_dim,
                        dropout=0.6)
-    trainer = JamieTrainer(cfg, model, data, 'identity', 'zeros', mesh=mesh)
+    trainer = JamieTrainer(cfg, model, data, P, 'zeros', mesh=mesh)
 
     t0 = time.perf_counter()
     state = trainer.fit()
@@ -67,6 +80,7 @@ def main():
     print(json.dumps({
         'cells': args.cells,
         'devices': len(jax.devices()),
+        'sampling': trainer.sampling_method,
         'epochs': trainer.epochs_run,
         'fit_seconds': round(fit_s, 1),
         'cell_samples_per_sec': round(steps * trainer.batch_size / fit_s, 1),
