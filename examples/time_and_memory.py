@@ -84,7 +84,7 @@ def run_config(name, shape0, shape1, ref_total, epoch_dnn=10000,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument('--configs', default='mmd,scmultisim,scmnc_motor')
+    ap.add_argument('--configs', default=','.join(CONFIGS))
     ap.add_argument('--epoch-dnn', type=int, default=10000)
     ap.add_argument('--min-epochs', type=int, default=2500)
     args = ap.parse_args()
@@ -95,7 +95,9 @@ def main():
     import jax
     import jax.numpy as jnp
     t0 = time.perf_counter()
-    jax.block_until_ready(jnp.ones((8, 128)) @ jnp.ones((128, 8)))
+    # np.asarray, not just block_until_ready: the first device->host VALUE
+    # fetch is its own (minutes-scale, erratic) tunnel bring-up cost
+    np.asarray(jnp.ones((8, 128)) @ jnp.ones((128, 8)))
     print(f'device init: {time.perf_counter() - t0:.1f}s')
 
     results = []
