@@ -62,6 +62,36 @@ def load_scmnc_motor():
             [types, types])
 
 
+def multi_seed(n_seeds=3, quick=False):
+    """Full-prior quality over n_seeds seeds (mean +- sd)."""
+    from jamie_tpu import JAMIE
+
+    dataset, types = load_scmnc_motor()
+    kwargs = dict(KWARGS)
+    if quick:
+        kwargs.update(epoch_DNN=3000, min_epochs=1000)
+    per = {'foscttm': [], 'lta': []}
+    t0 = time.perf_counter()
+    for seed in range(n_seeds):
+        np.random.seed(seed)
+        jm = JAMIE(manual_seed=seed, **kwargs)
+        jm.fit_transform(dataset=dataset)
+        emb = jm.transform(dataset=dataset)
+        per['foscttm'].append(jm.test_closer(emb))
+        per['lta'].append(jm.test_LabelTA(emb, types))
+        print(f'seed {seed}: foscttm={per["foscttm"][-1]:.5f} '
+              f'lta={per["lta"][-1]:.4f}')
+    results = {'n_seeds': n_seeds,
+               'total_seconds': round(time.perf_counter() - t0, 1)}
+    for k, v in per.items():
+        results[k + '_mean'] = round(float(np.mean(v)), 5)
+        results[k + '_sd'] = round(float(np.std(v)), 5)
+        results[k + '_runs'] = [round(float(x), 5) for x in v]
+    results['reference'] = {'foscttm': 0.0025, 'lta': 0.8957}
+    print(json.dumps(results, indent=2))
+    return results
+
+
 def main(quick=False, partial=False):
     from jamie_tpu import JAMIE
 
@@ -103,4 +133,9 @@ def main(quick=False, partial=False):
 
 
 if __name__ == '__main__':
-    main(quick='--quick' in sys.argv, partial='--partial' in sys.argv)
+    if '--seeds' in sys.argv:
+        k = sys.argv.index('--seeds')
+        multi_seed(n_seeds=int(sys.argv[k + 1]),
+                   quick='--quick' in sys.argv)
+    else:
+        main(quick='--quick' in sys.argv, partial='--partial' in sys.argv)
