@@ -57,8 +57,13 @@ def main():
     pres = [Preprocessor.fit(d, pca_dim=512) for d in data]
     transformed = [pre.transform(d) for pre, d in zip(pres, data)]
 
+    # matmul-only bf16: MXU-rate matmuls, f32 activations/batchnorm/Adam —
+    # quality-validated neutral on scGEM (RESULTS.md round 2). The loop is
+    # otherwise optimizer/elementwise-bound (f32 781k vs bf16-matmul 822k
+    # cell-samples/s measured; full-bf16 compute is SLOWER, 754k).
     model = CoupledVAE(tuple(x.shape[1] for x in transformed),
-                       cfg.output_dim, dropout=cfg.dropout)
+                       cfg.output_dim, dropout=cfg.dropout,
+                       matmul_bf16=True)
     P = np.eye(n, dtype=np.float32)
     F = np.zeros((n, n), np.float32)
     trainer = JamieTrainer(cfg, model, transformed, P, F)
