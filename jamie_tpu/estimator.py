@@ -278,6 +278,10 @@ class JAMIE:
         # second full-matrix projection (jamie.py:468 re-transforms; at
         # 242k features that would re-stream 9 GB through HBM)
         transformed = [pre.transform_fit() for pre in self.preprocessors]
+        # Wide-modality bf16 residencies (shared by the distance + PCA
+        # phases) release their HBM before training claims it
+        from .core.residency import clear_residency_cache
+        clear_residency_cache()
         timer.log('Preprocessing')
         self.col = [int(x.shape[1]) for x in transformed]
 

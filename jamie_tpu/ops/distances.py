@@ -106,6 +106,22 @@ def _pairwise_euclidean_feature_chunked(x, y, squared, self_dist,
 _FEATURE_CHUNK_THRESHOLD = 500_000_000
 
 
+@partial(jax.jit, static_argnames=('squared', 'self_dist'))
+def _euclidean_resident_bf16(x_bf16, squared: bool, self_dist: bool):
+    """Distances straight from a device-resident bf16 matrix: one MXU Gram
+    with f32 accumulation, norms via an f32-accumulated einsum (no f32 copy
+    of the matrix ever materializes). Input rounding matches what the
+    streamed path's bf16 Gram already applies to the products."""
+    sq = jnp.einsum('nf,nf->n', x_bf16, x_bf16,
+                    preferred_element_type=jnp.float32)
+    g = jnp.matmul(x_bf16, x_bf16.T, preferred_element_type=jnp.float32)
+    d2 = jnp.maximum(sq[:, None] + sq[None, :] - 2.0 * g, 0.0)
+    d = d2 if squared else jnp.sqrt(d2)
+    if self_dist:
+        d = d * (1.0 - jnp.eye(d.shape[0], dtype=d.dtype))
+    return d
+
+
 def _rows_sharding(mesh):
     from jax.sharding import NamedSharding, PartitionSpec as P
     return NamedSharding(mesh, P('data', None))
@@ -128,6 +144,13 @@ def _pairwise_euclidean_impl(x, y=None, squared=False, block=4096, mesh=None):
     self_dist = y is None
     if (np.ndim(x) == 2
             and x.shape[0] * x.shape[1] > _FEATURE_CHUNK_THRESHOLD):
+        if self_dist:
+            # Prefer a whole-matrix bf16 device residency (one 2-byte/elem
+            # upload shared with the PCA phase) over f32 streaming
+            from ..core.residency import device_bf16
+            xdev = device_bf16(np.asarray(x))
+            if xdev is not None:
+                return _euclidean_resident_bf16(xdev, squared, True)
         return _pairwise_euclidean_feature_chunked(
             x, x if y is None else y, squared, self_dist)
     y = x if y is None else y

@@ -63,6 +63,45 @@ def _pca_fit_randomized(X: jnp.ndarray, n_components: int,
     return mean, comps
 
 
+@partial(jax.jit,
+         static_argnames=('n_components', 'oversample', 'seed'))
+def _pca_fit_resident_bf16(X, n_components: int, oversample: int = 10,
+                           seed: int = 0):
+    """Randomized PCA straight from a device-resident bf16 matrix.
+
+    Centering is implicit — (X - 1 mean^T) M = X M - 1 (mean^T M) — so no
+    f32 or centered copy of the (huge) matrix ever materializes; every
+    product is a bf16 MXU matmul with f32 accumulation, the same rounding
+    the streamed path applies. Returns (mean, components, fit scores)."""
+    n, f = X.shape
+    k = min(n_components + oversample, n)
+    mean = jnp.mean(X, axis=0, dtype=jnp.float32)          # (f,)
+
+    key = jax.random.PRNGKey(seed)
+    omega = jax.random.normal(key, (f, k), jnp.float32)
+    mo = mean @ omega                                       # (k,)
+    Y = jnp.matmul(X, omega.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32) - mo[None, :]
+    Q, _ = jnp.linalg.qr(Y)                                 # (n, k) f32
+    # One power iteration sharpens slowly-decaying spectra
+    Zt = jnp.matmul(Q.T, X, preferred_element_type=jnp.float32) \
+        - jnp.sum(Q, axis=0)[:, None] * mean[None, :]       # (k, f)
+    Y = jnp.matmul(X, Zt.T.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32) \
+        - (mean @ Zt.T)[None, :]
+    Q, _ = jnp.linalg.qr(Y)
+
+    B = jnp.matmul(Q.T, X, preferred_element_type=jnp.float32) \
+        - jnp.sum(Q, axis=0)[:, None] * mean[None, :]       # (k, f)
+    BBt = B @ B.T
+    w, Ub = jnp.linalg.eigh(BBt)
+    Ub = Ub[:, ::-1][:, :n_components]
+    s = jnp.sqrt(jnp.maximum(w[::-1][:n_components], 1e-12))
+    comps = (Ub / s).T @ B                                  # (k', f)
+    scores = Q @ (Ub * s)                                   # (n, k')
+    return mean, comps, scores
+
+
 def _pca_fit_streamed(X: np.ndarray, n_components: int, oversample: int = 10,
                       seed: int = 0):
     """Randomized PCA with the feature axis streamed host->device, for
@@ -123,7 +162,15 @@ def _pca_fit(X, n_components: int):
     """Return (mean, components[k, F], fit_scores_or_None)."""
     n, f = np.shape(X)
     if n * f > _STREAM_THRESHOLD and f > n:
-        mean, comps, scores = _pca_fit_streamed(np.asarray(X), n_components)
+        from .core.residency import device_bf16
+        xdev = device_bf16(np.asarray(X))
+        if xdev is not None:
+            # One shared bf16 residency (uploaded by the distance phase)
+            # replaces the streamed path's two extra f32 passes
+            mean, comps, scores = _pca_fit_resident_bf16(xdev, n_components)
+        else:
+            mean, comps, scores = _pca_fit_streamed(np.asarray(X),
+                                                    n_components)
         signs = _component_signs(comps)
         return (mean, comps * signs[:, None],
                 np.asarray(scores) * np.asarray(signs)[None, :])

@@ -116,3 +116,37 @@ def test_feature_chunked_matches_direct():
         D._FEATURE_CHUNK_THRESHOLD = old
     # the streamed path uses bf16-input matmuls (f32 accumulation)
     np.testing.assert_allclose(chunked, direct, rtol=2e-2, atol=0.5)
+
+
+def test_resident_bf16_matches_streamed(monkeypatch):
+    """The whole-matrix bf16 residency path agrees with the f32 streamed
+    path to bf16-input tolerance."""
+    import jamie_tpu.ops.distances as dmod
+    from jamie_tpu.core import residency
+
+    rng = np.random.RandomState(6)
+    X = rng.randn(120, 600).astype(np.float32)
+    ref = np.asarray(pairwise_distance(X, 'euclidean'))
+
+    monkeypatch.setattr(dmod, '_FEATURE_CHUNK_THRESHOLD', 10_000)
+    try:
+        ours = np.asarray(pairwise_distance(X, 'euclidean'))
+    finally:
+        residency.clear_residency_cache()
+    assert np.abs(ours - ref).max() / max(ref.max(), 1) < 0.01
+    # symmetric, zero diagonal
+    np.testing.assert_allclose(np.diag(ours), 0, atol=1e-4)
+
+
+def test_residency_cache_shared_and_cleared():
+    from jamie_tpu.core import residency
+
+    X = np.random.RandomState(7).randn(50, 40).astype(np.float32)
+    a = residency.device_bf16(X)
+    b = residency.device_bf16(X)
+    assert a is b                      # one upload, shared
+    assert residency.device_bf16(X, budget_bytes=10) is None  # over budget
+    residency.clear_residency_cache()
+    c = residency.device_bf16(X)
+    assert c is not a
+    residency.clear_residency_cache()

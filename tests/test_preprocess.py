@@ -90,12 +90,16 @@ def test_pca_streamed_matches_direct():
     X = (rng.randn(30, 400) * spectrum).astype(np.float32)
     k = 5
     direct = pp.PCA(n_components=k).fit(X)
+    from jamie_tpu.core import residency
     old = pp._STREAM_THRESHOLD
+    old_budget = residency.DEFAULT_BUDGET_BYTES
     try:
-        pp._STREAM_THRESHOLD = 100  # force streaming
+        pp._STREAM_THRESHOLD = 100      # force the large-matrix route...
+        residency.DEFAULT_BUDGET_BYTES = 0   # ...and veto bf16 residency
         streamed = pp.PCA(n_components=k).fit(X)
     finally:
         pp._STREAM_THRESHOLD = old
+        residency.DEFAULT_BUDGET_BYTES = old_budget
     # subspace agreement (streamed path is randomized; components may rotate
     # within near-degenerate blocks)
     A = direct.components_
@@ -163,3 +167,33 @@ def test_nonlinear_tsne_preclass():
         w.simplefilter('always')
         Preprocessor.fit(X[:30], pca_dim=2, method='umap')
     assert any('umap' in str(r.message) for r in rec)
+
+
+def test_pca_resident_bf16_matches_streamed():
+    """Resident-bf16 randomized PCA recovers the same subspace as the
+    streamed f32 path (bf16 rounding tolerance)."""
+    import jax.numpy as jnp
+
+    from jamie_tpu.core import residency
+    from jamie_tpu.preprocess import (
+        _pca_fit_resident_bf16, _pca_fit_streamed,
+    )
+
+    rng = np.random.RandomState(9)
+    z = rng.randn(200, 8).astype(np.float32)
+    X = (z @ rng.randn(8, 900) + 0.01 * rng.randn(200, 900)).astype(np.float32)
+    mean_s, comps_s, scores_s = _pca_fit_streamed(X, 6)
+    xdev = jnp.asarray(X).astype(jnp.bfloat16)
+    mean_r, comps_r, scores_r = _pca_fit_resident_bf16(xdev, 6)
+    np.testing.assert_allclose(np.asarray(mean_r), np.asarray(mean_s),
+                               atol=2e-2)
+    # same subspace: projector difference small
+    Ps = np.asarray(comps_s).T @ np.asarray(comps_s)
+    Pr = np.asarray(comps_r).T @ np.asarray(comps_r)
+    assert np.abs(Ps - Pr).max() < 0.05
+    # scores reproduce the projection of the fit data
+    proj = (X - np.asarray(mean_r)) @ np.asarray(comps_r).T
+    corr = [abs(np.corrcoef(proj[:, j], np.asarray(scores_r)[:, j])[0, 1])
+            for j in range(6)]
+    assert min(corr) > 0.99
+    residency.clear_residency_cache()
