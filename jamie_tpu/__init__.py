@@ -18,16 +18,19 @@ _enable_cache()
 from ._meta import __version__, __reference_version__
 from .config import JamieConfig, config_from_kwargs
 from .estimator import JAMIE
+from . import compare
 from . import io
 from . import evaluation
+from . import figures
 from . import nn_funcs
 from . import utils
+from .ops.sparse import SparseRows
 from .preprocess import PCA, Preprocessor
 from .models import CoupledVAE, SimpleCoupledAE
 
 __all__ = [
     '__version__', '__reference_version__',
     'JAMIE', 'JamieConfig', 'config_from_kwargs',
-    'evaluation', 'nn_funcs', 'utils',
-    'PCA', 'Preprocessor', 'CoupledVAE', 'SimpleCoupledAE',
+    'compare', 'evaluation', 'figures', 'nn_funcs', 'utils',
+    'PCA', 'Preprocessor', 'SparseRows', 'CoupledVAE', 'SimpleCoupledAE',
 ]
