@@ -260,10 +260,15 @@ class JAMIE:
                 self.P = np.zeros((self.row[0], self.row[1]), np.float32)
         if not (isinstance(self.P, str) or is_sparse_input(self.P)):
             self.P = np.asarray(self.P, np.float32)
-        self.F = W[0][1] if isinstance(W[0][1], str) or is_sparse_input(W[0][1]) \
-            else np.asarray(W[0][1], np.float32)
-        if (cfg.f_top_k is not None and isinstance(self.F, np.ndarray)
-                and self.F.ndim == 2):
+        F_in = W[0][1]
+        if isinstance(F_in, str) or is_sparse_input(F_in):
+            self.F = F_in
+        elif hasattr(F_in, 'devices'):
+            self.F = F_in  # solver output stays device-resident (no fetch)
+        else:
+            self.F = np.asarray(F_in, np.float32)
+        if (cfg.f_top_k is not None and not isinstance(self.F, str)
+                and not is_sparse_input(self.F) and np.ndim(self.F) == 2):
             # Correspondence mass concentrates on a few candidates per cell;
             # top-k compression bounds trainer memory at O(N k) (atlas path)
             self.F = SparseRows.top_k(self.F, cfg.f_top_k)

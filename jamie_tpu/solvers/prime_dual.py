@@ -211,4 +211,7 @@ def prime_dual(
             print('epoch:[{:d}/{:d}] err:{:.4f} alpha:{:.4f}'.format(
                 i, epoch_pd, float(norm2), float(a)))
 
-    return np.asarray(carry[0], np.float32)
+    # Device array out: the trainer consumes F as a jitted operand, so a
+    # host round-trip of the N x N matrix (338 MB at 9k cells) is pure
+    # transfer waste; np consumers fetch transparently via __array__.
+    return carry[0]

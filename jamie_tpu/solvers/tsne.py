@@ -59,7 +59,7 @@ def joint_probabilities(dist, perplexity: float = 30.0) -> np.ndarray:
     """Symmetrized, perplexity-calibrated joint probabilities
     (unioncom.utils.joint_probabilities semantics; imported at
     jamie/jamie.py:19-23, used at :188)."""
-    D = jnp.asarray(np.asarray(dist), jnp.float32) ** 2
+    D = jnp.asarray(dist, jnp.float32) ** 2
     P = _calibrate_beta(D, float(perplexity))
     P = (P + P.T) / (2 * P.shape[0])
     P = jnp.maximum(P, 1e-12)

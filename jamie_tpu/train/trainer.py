@@ -85,7 +85,8 @@ class JamieTrainer:
         self.rows = [int(d.shape[0]) for d in dataset]
         self.cols = [int(d.shape[1]) for d in dataset]
 
-        self.data = [jnp.asarray(np.asarray(d), dtype=jnp.float32) for d in dataset]
+        # jnp.asarray keeps device-resident inputs in place (no host hop)
+        self.data = [jnp.asarray(d, dtype=jnp.float32) for d in dataset]
         if mesh is not None:
             # Keep the HBM-resident dataset row-sharded across the mesh so
             # per-chip memory scales as N/devices (when N divides the mesh;
@@ -121,7 +122,7 @@ class JamieTrainer:
             self._p_diag_mask = np.asarray(P, np.float32)
             self.P = None
         else:
-            self.P = jnp.asarray(np.asarray(P), dtype=jnp.float32)
+            self.P = jnp.asarray(P, dtype=jnp.float32)
         if self._f_zeros:
             self.F = None
         elif is_sparse_input(F):
@@ -131,7 +132,7 @@ class JamieTrainer:
                 f'{tuple(self.rows)}')
             self.F = None
         else:
-            self.F = jnp.asarray(np.asarray(F), dtype=jnp.float32)
+            self.F = jnp.asarray(F, dtype=jnp.float32)
         if mesh is not None:
             # The O(N^2) prior/correspondence matrices are the largest state
             # at scale — shard their rows across the mesh too.
