@@ -45,6 +45,12 @@ def load_scmnc_motor():
     e_rows = np.asarray(edata['__row_names__'])
     assert (e_rows == sample_names).all()
     data1 = gdata.T.astype(np.float64)                  # cells x genes
+    # The rda ships RAW counts (ints to 165k); the notebook's (stripped)
+    # geneExp_filtered.csv was normalized. Log-CPM recovers the standard
+    # patch-seq preprocessing: measured FOSCTTM 0.0000 / LTA 0.868 vs
+    # 0.0004 / 0.849 on raw counts (seed 0).
+    data1 = np.log1p(data1 / np.maximum(data1.sum(1, keepdims=True), 1)
+                     * 1e4)
     data2 = np.stack([np.asarray(edata[k], np.float64)
                       for k in efeat_names], axis=1)
     meta = d['meta']
