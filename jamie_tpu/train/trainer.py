@@ -408,7 +408,11 @@ class JamieTrainer:
                 return jax.lax.scan(
                     lambda st, ep: self._epoch_body(st, ep, ops),
                     state, epochs)
-            jitted = jax.jit(body)
+            # Donate the TrainState: params/Adam moments/batch stats update
+            # in place, halving the optimizer's HBM traffic (the train
+            # loop's dominant cost — RESULTS.md round-2 A/B). Callers never
+            # reuse the donated state object; fit() reassigns it per chunk.
+            jitted = jax.jit(body, donate_argnums=(0,))
             self._chunk_fn_cache[chunk] = \
                 lambda state: jitted(state, *self._operands())
         return self._chunk_fn_cache[chunk]
