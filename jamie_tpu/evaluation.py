@@ -14,7 +14,6 @@ device path evaluates many occluded variants per dispatch.
 from __future__ import annotations
 
 import contextlib
-import math
 from typing import Optional
 
 import jax
@@ -164,78 +163,67 @@ def test_partial(datasets, types, fraction_range=None, plot=True, **kwargs):
 def evaluate_impact(function, perf_function, in_data, true, features=None,
                     idx=None, mode='replace', sequential=False, scan=None,
                     scan_samples=500, seed=42):
-    """Occlusion importance (evaluation.py:965-1043): replace each feature
-    with the background mean, measure the performance delta. `scan` first
-    ranks features on a subset, then evaluates the top `scan` in full."""
+    """Occlusion importance with the reference API (evaluation.py:965-1043).
+
+    mode='replace' occludes one feature at a time with the background
+    (column mean); mode='keep' occludes everything BUT the feature.
+    sequential=True accumulates occlusions across features instead of
+    restoring between evaluations. `scan` first ranks all candidates on a
+    row subsample (passing idx= to `function`, as the notebooks' closures
+    expect) and then evaluates only the top `scan` in full.
+    Returns (baseline_performance, per-feature performance, testing_idx).
+    """
     assert mode in ['replace', 'keep']
     if seed is not None:
         np.random.seed(seed)
-
-    testing_idx = idx if idx is not None else np.arange(in_data.shape[1])
-    in_data = np.array(in_data)
-    background = in_data.mean(0)
-
-    logits = function(in_data)
-    baseline = perf_function(logits, true)
+    data = np.array(in_data)
+    testing_idx = np.asarray(idx) if idx is not None \
+        else np.arange(data.shape[1])
+    background = data.mean(axis=0)
+    baseline = perf_function(function(data), true)
 
     if scan is not None:
         print('Performing preliminary scan...')
-        sample_idx = np.random.choice(in_data.shape[0],
-                                      min(scan_samples, in_data.shape[0]),
-                                      replace=False)
-        true_mini = true[sample_idx] if true is not None else None
-        performance = _evaluate_impact_helper(
-            lambda x: function(x, idx=sample_idx), perf_function,
-            in_data[sample_idx, :], true_mini, background, baseline,
-            testing_idx, mode, sequential, features=features)
-        if mode == 'keep':
-            performance = -performance
-        testing_idx = testing_idx[np.argsort(performance)[:scan]]
+        rows = np.random.choice(data.shape[0],
+                                min(scan_samples, data.shape[0]),
+                                replace=False)
+        quick = _occlusion_pass(
+            lambda x: function(x, idx=rows), perf_function, data[rows],
+            None if true is None else true[rows], background,
+            testing_idx, mode, sequential)
+        # keep the features whose occlusion hurts most: low performance in
+        # 'replace', high in 'keep'
+        order = np.argsort(quick if mode == 'replace' else -quick)
+        testing_idx = testing_idx[order[:scan]]
     print('Finding important features...')
-    performance = _evaluate_impact_helper(
-        function, perf_function, in_data, true, background, baseline,
-        testing_idx, mode, sequential, features=features)
+    performance = _occlusion_pass(function, perf_function, data, true,
+                                  background, testing_idx, mode, sequential)
     print('Done!')
     return baseline, performance, testing_idx
 
 
-def _evaluate_impact_helper(function, perf_function, in_data, true,
-                            background, baseline, testing_idx, mode,
-                            sequential, features=None, check_best=10):
-    performance = []
-    best_perf = -np.inf
-    best_str = ''
-    for i, idx in enumerate(testing_idx):
-        if (i + 1) % check_best == 0 and len(performance) > 0:
-            if mode == 'replace':
-                best_i = int(np.argmax(-np.array(performance)))
-            else:
-                best_i = int(np.argmax(performance))
-            best_perf = performance[best_i]
-            best_str = (features[testing_idx[best_i]]
-                        if features is not None else 'NA')
-        prog = math.floor(50 * (i + 1) / len(testing_idx)) * '|'
-        print(f'{i + 1:>{len(str(len(testing_idx)))}}/{len(testing_idx)} '
-              f'[{prog:<50}] - Current Best: {best_perf:.5f}, {best_str}',
-              end='\r')
-
-        mod_data = in_data
-        if mode == 'replace':
-            replace_idx = idx
-        else:
-            replace_idx = [j != idx for j in range(mod_data.shape[1])]
-        old_data = mod_data[:, replace_idx]
+def _occlusion_pass(function, perf_function, data, true, background,
+                    testing_idx, mode, sequential, log_every=10):
+    """One occlusion sweep over `testing_idx`; never mutates the caller's
+    array (the reference mutated in place and restored through a view)."""
+    work = data.copy()
+    all_cols = np.arange(work.shape[1])
+    scores = np.empty(len(testing_idx))
+    for i, feat in enumerate(testing_idx):
+        cols = np.array([feat]) if mode == 'replace' \
+            else all_cols[all_cols != feat]
+        saved = work[:, cols].copy()
+        work[:, cols] = background[cols]
+        p = perf_function(function(work), true)
+        scores[i] = np.inf if np.isnan(p) else p
         if not sequential:
-            old_data = old_data.copy()
-        mod_data[:, replace_idx] = background[replace_idx]
-        logits = function(mod_data)
-        mod_data[:, replace_idx] = old_data
-        perf = perf_function(logits, true)
-        if np.isnan(perf):
-            perf = np.inf
-        performance.append(perf)
+            work[:, cols] = saved
+        if (i + 1) % log_every == 0 or i + 1 == len(testing_idx):
+            frac = (i + 1) / len(testing_idx)
+            print(f'occlusion {i + 1}/{len(testing_idx)} '
+                  f'({100 * frac:.0f}%)', end='\r')
     print()
-    return np.array(performance)
+    return scores
 
 
 def occlusion_impact_device(estimator, in_data, true, modality: int = 0,
