@@ -163,3 +163,21 @@ def test_graft_entry_single():
     fn, args = entry()
     out = jax.jit(fn)(*args)
     assert all(np.isfinite(np.asarray(o)).all() for o in out)
+
+
+def test_estimator_2d_mesh_fit():
+    """Public JAMIE API on a 4x2 data x model mesh: the full fit runs with
+    DP+TP shardings engaged through config alone."""
+    from jamie_tpu import JAMIE
+    rng = np.random.RandomState(4)
+    z = rng.randn(64, 4).astype(np.float32)
+    data = [(z @ rng.randn(4, 48)).astype(np.float32),
+            (z @ rng.randn(4, 16)).astype(np.float32)]
+    jm = JAMIE(mesh_shape=(4, 2), mesh_axis_names=('data', 'model'),
+               epoch_DNN=20, min_epochs=5, batch_size=32, epoch_chunk=10,
+               pca_dim=None, epoch_pd=50, use_early_stop=False,
+               log_DNN=1000, log_pd=1000)
+    assert jm.mesh is not None and dict(jm.mesh.shape) == \
+        {'data': 4, 'model': 2}
+    out = jm.fit_transform(dataset=data)
+    assert np.isfinite(out[0]).all() and out[0].shape == (64, 32)
