@@ -102,6 +102,9 @@ class JamieConfig:
     # training (SparseRows top-k): bounds trainer memory at O(N k) for
     # atlas-scale partial-prior fits. None keeps F dense.
     f_top_k: Optional[int] = None
+    # Tensor parallelism: parameter dims >= this (and divisible by the
+    # 'model' mesh axis) shard over it (core/mesh.py param_spec rules)
+    tp_wide_threshold: int = 1024
 
     def __post_init__(self):
         if self.integration_type != 'MultiOmics':

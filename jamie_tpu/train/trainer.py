@@ -250,9 +250,10 @@ class JamieTrainer:
                 # kernels (F x 2F at no-pca feature counts) shard over the
                 # 'model' axis; Adam moments and batchnorm stats follow the
                 # same layout so per-chip parameter memory is O(F^2/devices).
-                params = shard_params_tree(params, self.mesh)
-                batch_stats = shard_params_tree(batch_stats, self.mesh)
-                opt_state = shard_params_tree(opt_state, self.mesh)
+                wt = int(self.config.tp_wide_threshold)
+                params = shard_params_tree(params, self.mesh, wt)
+                batch_stats = shard_params_tree(batch_stats, self.mesh, wt)
+                opt_state = shard_params_tree(opt_state, self.mesh, wt)
         return TrainState(
             params=params,
             batch_stats=batch_stats,

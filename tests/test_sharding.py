@@ -181,3 +181,22 @@ def test_estimator_2d_mesh_fit():
         {'data': 4, 'model': 2}
     out = jm.fit_transform(dataset=data)
     assert np.isfinite(out[0]).all() and out[0].shape == (64, 32)
+
+
+def test_estimator_2d_mesh_tp_engages():
+    """With tp_wide_threshold lowered, the public-API fit's wide kernels
+    genuinely split over the model axis."""
+    from jamie_tpu import JAMIE
+    rng = np.random.RandomState(5)
+    z = rng.randn(64, 4).astype(np.float32)
+    data = [(z @ rng.randn(4, 64)).astype(np.float32),
+            (z @ rng.randn(4, 16)).astype(np.float32)]
+    jm = JAMIE(mesh_shape=(4, 2), mesh_axis_names=('data', 'model'),
+               tp_wide_threshold=64, epoch_DNN=10, min_epochs=2,
+               batch_size=32, epoch_chunk=5, pca_dim=None, epoch_pd=30,
+               use_early_stop=False, log_DNN=1000, log_pd=1000)
+    out = jm.fit_transform(dataset=data)
+    assert np.isfinite(out[0]).all()
+    k = jm.params['enc0_b0']['TorchDense_0']['kernel']
+    n_shards = len({s.index for s in k.addressable_shards})
+    assert n_shards == 2, f'TP kernel not sharded: {n_shards}'
