@@ -196,3 +196,29 @@ def test_transpose_roundtrip():
     sp = SparseRows.from_dense(dense)
     np.testing.assert_allclose(sp.T.to_dense(), dense.T, atol=1e-7)
     np.testing.assert_allclose(sp.T.T.to_dense(), dense, atol=1e-7)
+
+
+def test_sparse_p_on_mesh_matches_unsharded():
+    """SparseRows P with its ELL arrays row-sharded over the 8-device mesh
+    reproduces the unsharded fit."""
+    import jax
+
+    from jamie_tpu.core.mesh import create_mesh
+
+    assert len(jax.devices()) >= 8
+    mesh = create_mesh(shape=(8,), axis_names=('data',))
+    data = _data(n=64)
+    rng = np.random.RandomState(17)
+    on = rng.choice(64, 32, replace=False)
+    P = SparseRows.from_coo(on, on, np.ones(32, np.float32), (64, 64))
+    cfg = _cfg()
+    model = CoupledVAE((10, 8), cfg.output_dim, dropout=0.0)
+
+    plain = JamieTrainer(cfg, model, data, P, 'zeros')
+    plain.fit()
+    sharded = JamieTrainer(cfg, model, data, P, 'zeros', mesh=mesh)
+    with mesh:
+        sharded.fit()
+    assert sharded.sampling_method == 'hybrid'
+    np.testing.assert_allclose(plain.epoch_losses, sharded.epoch_losses,
+                               rtol=1e-3, atol=1e-4)
