@@ -69,7 +69,7 @@ def joint_probabilities(dist, perplexity: float = 30.0) -> np.ndarray:
 @partial(jax.jit, static_argnames=('n_iters', 'exaggeration_iters'))
 def _tsne_optimize(P1, P2, Y1, Y2, pairs_x, pairs_y, align_weight,
                    n_iters: int, exaggeration_iters: int = 250,
-                   lr: float = 0.5):
+                   lr: float = 0.5, exaggeration: float = 12.0):
     """Paired t-SNE: KL(P1||Q1) + KL(P2||Q2) + align on matched pairs.
 
     Optimized with Adam (scale-invariant steps) rather than the classic
@@ -90,7 +90,10 @@ def _tsne_optimize(P1, P2, Y1, Y2, pairs_x, pairs_y, align_weight,
 
     def body(i, carry):
         (Y1, Y2), opt_state = carry
-        exag = jnp.where(i < exaggeration_iters, 12.0, 1.0)
+        # anneal the early exaggeration linearly over its window instead of
+        # a hard step - smoother global->local structure handoff
+        frac = jnp.clip(i / max(exaggeration_iters, 1), 0.0, 1.0)
+        exag = exaggeration + (1.0 - exaggeration) * frac
         g1 = kl_grad(P1 * exag, Y1)
         g2 = kl_grad(P2 * exag, Y2)
         # alignment on matched pairs
@@ -165,19 +168,26 @@ def project_tsne(
     n_iters: int = 1000,
     align_weight: float = 10.0,
     seed: int = 0,
+    exaggeration: float = 12.0,
+    exaggeration_iters: int = 250,
+    lr: float = 0.5,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Embed both datasets with pair-aligned t-SNE; returns [Y1, Y2]."""
+    """Embed both datasets with pair-aligned t-SNE; returns [Y1, Y2].
+
+    exaggeration / exaggeration_iters / lr expose the annealing schedule
+    (the early-exaggeration factor decays linearly over its window)."""
     key = jax.random.PRNGKey(seed)
     k1, k2 = jax.random.split(key)
     n1, n2 = P_joint[0].shape[0], P_joint[1].shape[0]
     Y1 = 1e-4 * jax.random.normal(k1, (n1, output_dim), jnp.float32)
     Y2 = 1e-4 * jax.random.normal(k2, (n2, output_dim), jnp.float32)
-    lr = 0.5
     Y1, Y2 = _tsne_optimize(
         jnp.asarray(P_joint[0], jnp.float32),
         jnp.asarray(P_joint[1], jnp.float32),
         Y1, Y2,
         jnp.asarray(np.asarray(pairs_x), jnp.int32),
         jnp.asarray(np.asarray(pairs_y), jnp.int32),
-        float(align_weight), int(n_iters), lr=lr)
+        float(align_weight), int(n_iters),
+        exaggeration_iters=int(exaggeration_iters), lr=float(lr),
+        exaggeration=float(exaggeration))
     return [np.asarray(Y1), np.asarray(Y2)]
