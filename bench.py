@@ -49,9 +49,11 @@ def main():
     data, labels = make_snare_like()
     n = data[0].shape[0]
 
+    # rbg = TPU hardware RNG: dropout's threefry bits were 31% of the step
+    # (0.608 -> 0.412 ms/step measured); scGEM quality unchanged
     cfg = JamieConfig(epoch_DNN=10_000, min_epochs=2500, batch_size=512,
                       log_DNN=100_000, use_early_stop=False,
-                      epoch_chunk=200)
+                      epoch_chunk=200, prng_impl='rbg')
 
     # PCA-512 front end (reference default pca_dim=[512, 512])
     pres = [Preprocessor.fit(d, pca_dim=512) for d in data]

@@ -105,6 +105,12 @@ class JamieConfig:
     # Tensor parallelism: parameter dims >= this (and divisible by the
     # 'model' mesh axis) shard over it (core/mesh.py param_spec rules)
     tp_wide_threshold: int = 1024
+    # PRNG implementation for the whole fit ('rbg' = TPU hardware RNG).
+    # Dropout's threefry bits are 31% of a train step at the bench config;
+    # rbg removes nearly all of it (842k -> 1242k cell-samples/s) and is
+    # quality-neutral on scGEM. NOTE: applied via jax global config at
+    # trainer construction — process-wide, not per-fit.
+    prng_impl: Optional[str] = None   # None | 'rbg' | 'threefry2x32'
 
     def __post_init__(self):
         if self.integration_type != 'MultiOmics':

@@ -80,6 +80,9 @@ class JamieTrainer:
         self.config = config
         self.model = model
         self.mesh = mesh
+        if config.prng_impl is not None:
+            # Process-global by jax design; documented on the config field.
+            jax.config.update('jax_default_prng_impl', config.prng_impl)
         cdtype = resolve_dtype(config.compute_dtype)
 
         self.rows = [int(d.shape[0]) for d in dataset]

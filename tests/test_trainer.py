@@ -113,3 +113,30 @@ def test_zeros_mode_runs():
     assert tr.sampling_method == 'zeros'
     tr.fit()
     assert np.isfinite(tr.epoch_losses).all()
+
+
+def test_prng_impl_rbg_runs():
+    """prng_impl='rbg' (TPU hardware RNG knob) produces a finite fit; the
+    global impl is restored afterwards so other tests keep threefry."""
+    import jax
+
+    from jamie_tpu.config import JamieConfig
+    from jamie_tpu.models import CoupledVAE
+    from jamie_tpu.train.trainer import JamieTrainer
+
+    rng = np.random.RandomState(21)
+    z = rng.randn(40, 4).astype(np.float32)
+    data = [(z @ rng.randn(4, 10)).astype(np.float32),
+            (z @ rng.randn(4, 8)).astype(np.float32)]
+    old = jax.config.jax_default_prng_impl
+    try:
+        cfg = JamieConfig(epoch_DNN=10, min_epochs=2, batch_size=20,
+                          epoch_chunk=5, use_early_stop=False, pca_dim=None,
+                          log_DNN=1000, prng_impl='rbg', dropout=0.5)
+        model = CoupledVAE((10, 8), cfg.output_dim, dropout=0.5)
+        tr = JamieTrainer(cfg, model, data, np.eye(40, dtype=np.float32),
+                          np.zeros((40, 40), np.float32))
+        tr.fit()
+        assert np.isfinite(tr.epoch_losses).all()
+    finally:
+        jax.config.update('jax_default_prng_impl', old)
