@@ -68,7 +68,8 @@ def run_config(name, shape0, shape1, ref_total, epoch_dnn=10000,
     jm = JAMIE(output_dim=32, batch_size=512, pca_dim=(512, 512),
                epoch_DNN=epoch_dnn, min_epochs=min_epochs,
                use_early_stop=True, log_DNN=100000,
-               distance_mode='euclidean', epoch_chunk=500)
+               distance_mode='euclidean', epoch_chunk=500,
+               prng_impl='rbg')  # hw RNG: dropout bits were 31% of a step
     t0 = time.perf_counter()
     jm.fit_transform(dataset=dataset)
     total = time.perf_counter() - t0
