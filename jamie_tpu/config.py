@@ -108,9 +108,18 @@ class JamieConfig:
     # PRNG implementation for the whole fit ('rbg' = TPU hardware RNG).
     # Dropout's threefry bits are 31% of a train step at the bench config;
     # rbg removes nearly all of it (842k -> 1242k cell-samples/s) and is
-    # quality-neutral on scGEM. NOTE: applied via jax global config at
-    # trainer construction — process-wide, not per-fit.
+    # quality-neutral on scGEM. Applied via the jax global config for the
+    # duration of init/fit and restored afterwards (trainer._prng_scope).
     prng_impl: Optional[str] = None   # None | 'rbg' | 'threefry2x32'
+    # Preemption safety net (trainer.fit passthrough; no reference
+    # equivalent — its only restartability is notebook-level model caching,
+    # jamie/utilities.py:610-636): periodic full-TrainState snapshots under
+    # checkpoint_dir every checkpoint_every epochs, and a structured JSONL
+    # metrics record per scan chunk at metrics_path. Excluded from the
+    # cache key: they change where telemetry lands, not the fit.
+    checkpoint_dir: Optional[str] = None
+    checkpoint_every: int = 0
+    metrics_path: Optional[str] = None
 
     def __post_init__(self):
         if self.integration_type != 'MultiOmics':
@@ -148,7 +157,9 @@ class JamieConfig:
         size_str = '---'.join(
             [dataset_name] + ['-'.join(str(s) for s in shape) for shape in shapes])
         kw = {k: v for k, v in sorted(self.nondefault_kwargs().items())
-              if k not in ('enable_memory_logging', 'debug', 'record_loss')}
+              if k not in ('enable_memory_logging', 'debug', 'record_loss',
+                           'checkpoint_dir', 'checkpoint_every',
+                           'metrics_path')}
         if not kw:
             return size_str
         blob = json.dumps(kw, sort_keys=True, default=str)
@@ -156,12 +167,35 @@ class JamieConfig:
         return f'{size_str}---{digest}'
 
 
+# UnionCom constructor params the reference accepted but the JAMIE path never
+# reads (jamie/jamie.py:111 forwards **kwargs to uc.UnionCom.__init__); they
+# pass through without a warning for drop-in compatibility.
+_INERT_REFERENCE_KWARGS = frozenset((
+    'epoch_pd1', 'beta', 'usePercent', 'col', 'row', 'test', 'gpu_number',
+))
+
+
 def config_from_kwargs(**kwargs: Any) -> JamieConfig:
-    """Build a config from loose reference-style kwargs, ignoring unknown ones
-    the reference silently forwarded to UnionCom but never used."""
+    """Build a config from loose reference-style kwargs.
+
+    Unknown kwargs warn instead of raising: the reference silently forwarded
+    them to UnionCom, so strictness would break drop-in use — but silence
+    turns a typo (`epoch_DNN` -> `epoch_dnn`) into a 10k-epoch default run
+    with no clue why, so every key that is neither a config field nor a
+    known inert UnionCom param gets a UserWarning naming it.
+    """
     field_names = {f.name for f in dataclasses.fields(JamieConfig)}
     known = {k: v for k, v in kwargs.items() if k in field_names}
     # Reference alias: `lr` was the UnionCom name forwarded for the DNN phase
     if 'lr' in kwargs and 'model_lr' not in kwargs:
         known['model_lr'] = kwargs['lr']
+    unknown = sorted(k for k in kwargs
+                     if k not in field_names and k != 'lr'
+                     and k not in _INERT_REFERENCE_KWARGS)
+    if unknown:
+        import warnings
+        warnings.warn(
+            f'Ignoring unknown JAMIE kwargs: {unknown} — not a JamieConfig '
+            'field (check for typos; see jamie_tpu.config.JamieConfig).',
+            UserWarning, stacklevel=3)
     return JamieConfig(**known)

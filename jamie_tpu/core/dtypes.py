@@ -7,8 +7,6 @@ default for numerical parity and expose bfloat16 compute as a policy knob.
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax.numpy as jnp
 
 _DTYPES = {
@@ -23,17 +21,3 @@ def resolve_dtype(name):
     if isinstance(name, str):
         return _DTYPES[name]
     return name
-
-
-@dataclasses.dataclass(frozen=True)
-class DTypePolicy:
-    param_dtype: str = 'float32'
-    compute_dtype: str = 'float32'
-
-    @property
-    def param(self):
-        return resolve_dtype(self.param_dtype)
-
-    @property
-    def compute(self):
-        return resolve_dtype(self.compute_dtype)

@@ -35,6 +35,12 @@ from .solvers.prime_dual import prime_dual
 from .train.trainer import JamieTrainer
 
 
+# Past this many N0*N1 entries, dense all-zeros F / identity P matrices are
+# pure waste (200+ MB); string sentinels flow instead and the trainer
+# synthesizes batch subsets on the fly.
+SENTINEL_ENTRIES = 50_000_000
+
+
 def _unwrap_anndata(dataset):
     """AnnData unwrap (jamie/jamie.py:147-149); anndata is an optional dep."""
     try:
@@ -109,9 +115,9 @@ class JAMIE:
         time.log('Distance')
 
         if not cfg.use_f_tilde:
-            # Above ~50M entries the zero matrix is pure waste; pass the
+            # Above SENTINEL_ENTRIES the zero matrix is pure waste; pass the
             # sentinel the trainer synthesizes batch subsets from.
-            if self.row[0] * self.row[1] > 50_000_000:
+            if self.row[0] * self.row[1] > SENTINEL_ENTRIES:
                 self.match_result = ['zeros']
             else:
                 self.match_result = [
@@ -126,9 +132,15 @@ class JAMIE:
         if cfg.project_mode == 'tsne':
             from .ops.sparse import SparseRows
             for i in range(self.dataset_num - 1):
-                if isinstance(self.match_result[i], str):
-                    continue  # sentinel: all-zero match matrix
                 mat = self.match_result[i]
+                if isinstance(mat, str):
+                    # All-zeros sentinel: hungarian on a zero cost matrix is
+                    # the leading diagonal, so synthesize it without ever
+                    # materializing the N x N matrix.
+                    k = min(self.row[i], self.row[i + 1])
+                    self.pairs_x.append(np.arange(k))
+                    self.pairs_y.append(np.arange(k))
+                    continue
                 if isinstance(mat, SparseRows):
                     mat = mat.to_dense()  # hungarian needs the dense cost
                 row_ind, col_ind = hungarian_pairs(mat)
@@ -251,8 +263,8 @@ class JAMIE:
         from .ops.sparse import SparseRows, is_sparse_input
         if self.P is None:
             if self.row[0] == self.row[1]:
-                # Past ~50M entries, keep the identity implicit (atlas path)
-                if self.row[0] * self.row[1] > 50_000_000:
+                # Past SENTINEL_ENTRIES, keep the identity implicit (atlas)
+                if self.row[0] * self.row[1] > SENTINEL_ENTRIES:
                     self.P = 'identity'
                 else:
                     self.P = np.eye(self.row[0], dtype=np.float32)
@@ -300,7 +312,10 @@ class JAMIE:
         self.trainer = JamieTrainer(
             cfg, self.model, transformed, self.P, self.F, mesh=self.mesh)
         timer.log('Trainer setup')
-        state = self.trainer.fit()
+        state = self.trainer.fit(
+            checkpoint_dir=cfg.checkpoint_dir,
+            checkpoint_every=cfg.checkpoint_every,
+            metrics_path=cfg.metrics_path)
         timer.log('Training')
         self.params = state.params
         self.batch_stats = state.batch_stats

@@ -216,7 +216,11 @@ def _occlusion_pass(function, perf_function, data, true, background,
         work[:, cols] = background[cols]
         p = perf_function(function(work), true)
         scores[i] = np.inf if np.isnan(p) else p
-        if not sequential:
+        # keep mode always restores: the reference's boolean-mask indexing
+        # copies, so its "sequential" occlusion only ever accumulates in
+        # replace mode (evaluation.py:1022-1036) — without this, after the
+        # first feature the working matrix is almost fully background.
+        if not sequential or mode == 'keep':
             work[:, cols] = saved
         if (i + 1) % log_every == 0 or i + 1 == len(testing_idx):
             frac = (i + 1) / len(testing_idx)

@@ -1,16 +1,15 @@
 """Graph/kNN utilities and legacy manifold-alignment losses.
 
-Reference parity: jamie/nn_funcs.py —
-- `knn_dist` (nn_funcs.py:7-33): connected kNN affinity with Gaussian kernel
-- `knn_sim` (nn_funcs.py:36-60): bipartite kNN on a correspondence matrix
-- `connect_graph` (nn_funcs.py:63-84): bridge disconnected components at
-  their closest cross pair
-- legacy losses `uc_loss` (:87-101), `nlma_loss` incl. Laplacian-trace fast
-  path (:104-149), naive Gromov-Wasserstein `gw_loss` (:152-166). Retained
-  API from earlier reference versions; not called by the training path.
+Reference parity (behavior, not structure): jamie/nn_funcs.py —
+`knn_dist` (:7-33) connected kNN affinity with Gaussian kernel, `knn_sim`
+(:36-60) bipartite kNN on a correspondence matrix, `connect_graph` (:63-84)
+component bridging, and the legacy losses `uc_loss` (:87-101), `nlma_loss`
+(:104-149), `gw_loss` (:152-166) retained as API from earlier reference
+versions (not called by the training path).
 
 Device/host split: dense distance bases and the losses run on device (jnp);
-connected-components stays on host scipy (tiny, sequential).
+the adjacency scatter is a vectorized numpy fancy-assign (tiny, host);
+connected-components stays on host scipy (sequential by nature).
 """
 
 from __future__ import annotations
@@ -22,52 +21,76 @@ from scipy.sparse.csgraph import connected_components
 from .ops.distances import pairwise_sq_euclidean
 
 
-def connect_graph(mat: np.ndarray, value_mat: np.ndarray = None) -> np.ndarray:
-    """Connect disparate connected components in `mat` (nn_funcs.py:63-84)."""
-    if value_mat is None:
-        value_mat = mat
-    mat = np.asarray(mat).copy()
-    n_components, labels = connected_components(mat, directed=False)
-    for i in range(n_components - 1):
-        g1_idx = np.arange(mat.shape[0])[np.array(labels) == i]
-        g2_idx = np.arange(mat.shape[0])[np.array(labels) == i + 1]
-        sub_dist = np.asarray(value_mat)[g1_idx][:, g2_idx]
-        min_dist = np.unravel_index(np.argmin(sub_dist, axis=None),
-                                    sub_dist.shape)
-        g1_new = g1_idx[min_dist[0]]
-        g2_new = g2_idx[min_dist[1]]
-        mat[g1_new, g2_new] = sub_dist[min_dist]
-        mat[g2_new, g1_new] = sub_dist[min_dist]
-    return mat
+def connect_graph(adj: np.ndarray, weights: np.ndarray = None) -> np.ndarray:
+    """Bridge disconnected components of `adj` into one.
 
-
-def knn_dist(data: np.ndarray, k: int = 5) -> np.ndarray:
-    """Connected kNN affinity, Gaussian-kernelized (nn_funcs.py:7-33)."""
-    dist = np.asarray(pairwise_sq_euclidean(np.asarray(data, np.float32)))
-    adj = np.zeros(dist.shape, np.float32)
-    idxs = np.argsort(dist)[:, :k + 1]
-    for idx in idxs:
-        adj[idx[0], idx[1:]] = dist[idx[0], idx[1:]]
-        adj[idx[1:], idx[0]] = dist[idx[1:], idx[0]]
-    adj = connect_graph(adj, dist)
-    adj[adj > 0] = np.exp(-adj[adj > 0])
+    Components are chained in label order: each consecutive pair (c, c+1)
+    gains one symmetric edge at the cheapest cross entry of `weights`
+    (defaults to `adj` itself). Returns a copy; see reference
+    jamie/nn_funcs.py:63-84 for the matching semantics.
+    """
+    adj = np.array(adj)
+    weights = adj if weights is None else np.asarray(weights)
+    n_comp, labels = connected_components(adj, directed=False)
+    groups = [np.flatnonzero(labels == c) for c in range(n_comp)]
+    for a, b in zip(groups[:-1], groups[1:]):
+        block = weights[np.ix_(a, b)]
+        flat = int(np.argmin(block))
+        i, j = a[flat // len(b)], b[flat % len(b)]
+        adj[i, j] = adj[j, i] = block.flat[flat]
     return adj
 
 
-def knn_sim(data: np.ndarray, k: int = 5) -> np.ndarray:
-    """Bipartite kNN on an F/correspondence matrix (nn_funcs.py:36-60)."""
-    data = np.asarray(data)
-    sim = np.block([
-        [np.zeros(2 * (data.shape[0],)), data],
-        [np.transpose(data), np.zeros(2 * (data.shape[1],))],
-    ])
-    adj = np.zeros(sim.shape)
-    idxs = np.argsort(-sim, axis=1)[:, :k]
-    for i, idx in enumerate(idxs):
-        adj[i, idx] = -sim[i, idx]
-        adj[idx, i] = -sim[idx, i]
-    adj = connect_graph(adj, -sim)
-    return -adj[:data.shape[0]][:, data.shape[0]:]
+def _symmetric_knn_adjacency(scores: np.ndarray,
+                             neighbors: np.ndarray) -> np.ndarray:
+    """Scatter per-row neighbor scores into a symmetrized dense adjacency.
+
+    `neighbors` is (n, k) column indices per row; both (i -> j) and
+    (j -> i) slots are written so the graph is undirected.
+    """
+    n, k = neighbors.shape
+    rows = np.repeat(np.arange(n), k)
+    cols = neighbors.ravel()
+    adj = np.zeros_like(scores)
+    adj[rows, cols] = scores[rows, cols]
+    adj[cols, rows] = scores[cols, rows]
+    return adj
+
+
+def knn_dist(data: np.ndarray, k: int = 5) -> np.ndarray:
+    """Connected kNN affinity with a Gaussian kernel (ref nn_funcs.py:7-33).
+
+    Squared-euclidean base distances run on device (MXU Gram path); each
+    sample links to its k nearest others (self-distance 0 sorts first and
+    is skipped), components are bridged, and surviving edges map through
+    exp(-d).
+    """
+    d2 = np.asarray(pairwise_sq_euclidean(np.asarray(data, np.float32)))
+    nearest = np.argsort(d2, axis=1, kind='stable')[:, 1:k + 1]
+    graph = _symmetric_knn_adjacency(d2, nearest)
+    graph = connect_graph(graph, d2)
+    edges = graph > 0
+    graph[edges] = np.exp(-graph[edges])
+    return graph
+
+
+def knn_sim(corr: np.ndarray, k: int = 5) -> np.ndarray:
+    """Bipartite kNN over a correspondence matrix (ref nn_funcs.py:36-60).
+
+    The (n0, n1) similarity matrix becomes a (n0+n1)² bipartite graph in
+    negated-similarity ("cost") form; each node keeps its k most-similar
+    cross-side partners, components are bridged, and the top-right block
+    returns to similarity sign.
+    """
+    corr = np.asarray(corr)
+    n0, n1 = corr.shape
+    cost = np.zeros((n0 + n1, n0 + n1), corr.dtype)
+    cost[:n0, n0:] = -corr
+    cost[n0:, :n0] = -corr.T
+    strongest = np.argsort(cost, axis=1, kind='stable')[:, :k]
+    graph = _symmetric_knn_adjacency(cost, strongest)
+    graph = connect_graph(graph, cost)
+    return -graph[:n0, n0:]
 
 
 def uc_loss(primes, F):

@@ -70,14 +70,19 @@ class SparseRows:
 
     @classmethod
     def top_k(cls, dense, k: int) -> 'SparseRows':
-        """Keep the k largest entries of each row (the sparse-F compressor:
-        correspondence mass concentrates on a few candidates per cell)."""
+        """Keep the k largest-magnitude entries of each row.
+
+        Built as the sparse-F compressor (correspondence mass concentrates
+        on a few candidates per cell, where every entry is nonnegative),
+        but ranked by |value| so general matrices keep their negative
+        entries too; exact zeros are dropped either way."""
         dense = np.asarray(dense, np.float32)
         n, m = dense.shape
         k = min(int(k), m)
-        idx = np.argpartition(-dense, k - 1, axis=1)[:, :k]
+        mag = np.abs(dense)
+        idx = np.argpartition(-mag, k - 1, axis=1)[:, :k]
         vals = np.take_along_axis(dense, idx, axis=1)
-        keep = vals > 0
+        keep = np.take_along_axis(mag, idx, axis=1) > 0
         cols = np.where(keep, idx, -1).astype(np.int32)
         return cls(cols, np.where(keep, vals, 0.0), dense.shape)
 

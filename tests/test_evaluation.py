@@ -215,3 +215,24 @@ def test_sign_test_matches_binomial():
     upper = binom.sf(wins - 1, n, 0.5)
     assert abs(_sign_test_p(wins, n) - 2 * min(upper, 1 - upper)) < 1e-12
     assert _sign_test_p(0, 0) == 1.0
+
+def test_evaluate_impact_keep_sequential_restores():
+    """keep mode restores occluded columns even under sequential=True,
+    matching the reference's boolean-mask copy semantics
+    (jamie/evaluation.py:1022-1036; ADVICE round 2)."""
+    rng = np.random.RandomState(1)
+    x = rng.randn(40, 4)
+    w = np.array([4.0, 3.0, 2.0, 1.0])
+    y = x @ w
+
+    def function(data, idx=None):
+        return data @ w
+
+    def perf(logits, true):
+        return np.corrcoef(logits, true)[0, 1]
+
+    base, seq, _ = ev.evaluate_impact(function, perf, x, y, mode='keep',
+                                      sequential=True)
+    base2, plain, _ = ev.evaluate_impact(function, perf, x, y, mode='keep',
+                                         sequential=False)
+    np.testing.assert_allclose(seq, plain, atol=1e-12)

@@ -222,3 +222,14 @@ def test_sparse_p_on_mesh_matches_unsharded():
     assert sharded.sampling_method == 'hybrid'
     np.testing.assert_allclose(plain.epoch_losses, sharded.epoch_losses,
                                rtol=1e-3, atol=1e-4)
+
+
+def test_top_k_keeps_negative_entries():
+    """top_k ranks by magnitude so general (signed) matrices keep their
+    largest negative entries (ADVICE round 2: signed ranking dropped them)."""
+    dense = np.array([[-5.0, 0.5, 3.0, 0.0],
+                      [1.0, -0.1, 0.0, 2.0]], np.float32)
+    sp = SparseRows.top_k(dense, 2)
+    out = sp.to_dense()
+    np.testing.assert_allclose(out[0], [-5.0, 0.0, 3.0, 0.0])
+    np.testing.assert_allclose(out[1], [1.0, 0.0, 0.0, 2.0])
