@@ -51,21 +51,36 @@ def _mm(a, b, precision):
 
 @partial(jax.jit, static_argnames=('n_iters', 'rho', 'epsilon', 'delay',
                                    'precision_name', 'use_pallas',
-                                   'rows_sharding'))
+                                   'rows_sharding', 'm_real'))
 def _run_chunk(carry, i0, Kx, Ky, tr_kx_kx, n_iters: int, rho: float,
                epsilon: float, delay: int, precision_name: str,
-               use_pallas: bool = False, rows_sharding=None):
+               use_pallas: bool = False, rows_sharding=None,
+               m_real: int = 0):
     precision = _PRECISIONS[precision_name]
     pho1, pho2, dlt = 0.9, 0.999, 1e-7  # 10e-8 in the reference (jamie.py:349)
 
     if rows_sharding is not None:
-        # Row-shard the five O(m*n) state arrays over the mesh via GSPMD
-        # annotation (handles uneven m by internal padding — device_put
-        # cannot). The small vectors S/Mu/Lambda stay replicated.
+        # Row-shard the five O(m*n) state arrays (and Kx) over the mesh via
+        # GSPMD annotation. The caller pads m to a multiple of the axis size:
+        # on non-divisible dims with_sharding_constraint silently REPLICATES
+        # (measured on jax 0.9 — there is no internal padding), which would
+        # turn the scale-out path into 8 full copies without a warning.
+        # The small vectors S/Mu/Lambda stay replicated.
         shard = lambda x: jax.lax.with_sharding_constraint(x, rows_sharding)
         Kx = shard(Kx)
     else:
         shard = lambda x: x
+
+    m_pad = carry[0].shape[0]
+    if m_real and m_real < m_pad:
+        # Zero-keep mask for the padded rows: the gradient's broadcast terms
+        # (Mu, Lambda^T, rho-penalties) are nonzero on pad rows, so without
+        # masking F's pad rows drift positive and contaminate the column
+        # sums, S, Lambda, and the a-trace.
+        pad_keep = (jax.lax.broadcasted_iota(jnp.int32, (m_pad, 1), 0)
+                    < m_real).astype(jnp.float32)
+    else:
+        pad_keep = None
 
     def step(t, carry):
         F, S, Mu, Lambda, M1, M2, a, FKy, KxFKy = carry
@@ -99,6 +114,8 @@ def _run_chunk(carry, i0, Kx, Ky, tr_kx_kx, n_iters: int, rho: float,
             g = hat1 / (jnp.sqrt(hat2) + dlt)
             F_tmp = jnp.maximum(F - g, 0.0)
             F = (1 - epsilon) * F + epsilon * F_tmp
+        if pad_keep is not None:
+            F = F * pad_keep
 
         col_sum = jnp.sum(F, axis=0)[:, None]        # F^T @ Im
         grad_s = Lambda + rho * (col_sum - 1.0 + S)
@@ -153,36 +170,50 @@ def prime_dual(
     m, n = int(Kx.shape[0]), int(Ky.shape[0])
 
     rows_sharding = None
+    m_pad = m
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
         rows_sharding = NamedSharding(mesh, P('data', None))
+        n_dev = int(mesh.shape.get('data', 1))
+        # Explicit zero-padding of the sharded (row) dim: GSPMD replicates
+        # silently on non-divisible dims (no internal padding on jax 0.9),
+        # and the pad rows are masked out of F every iteration in step().
+        m_pad = -(-m // n_dev) * n_dev
 
-    # One jitted prep: normalization, trace, and all carry zeros. Eagerly
-    # these are ~10 one-op dispatches, each a remote-compile round-trip on
-    # tunneled backends.
-    @partial(jax.jit, static_argnames=('m', 'n', 'N'))
-    def _prep(Kx, Ky, a0, m, n, N):
+    # One jitted prep: normalization, padding, trace, and all carry zeros —
+    # materialized SHARDED when a mesh is given, so the five O(m*n) state
+    # arrays never exist whole on one chip. Eagerly these are ~10 one-op
+    # dispatches, each a remote-compile round-trip on tunneled backends.
+    @partial(jax.jit, static_argnames=('m_pad', 'n', 'N'))
+    def _prep(Kx, Ky, a0, m_pad, n, N):
+        shard = ((lambda x: jax.lax.with_sharding_constraint(x, rows_sharding))
+                 if rows_sharding is not None else (lambda x: x))
         Kx = Kx.astype(jnp.float32) / N
         Ky = Ky.astype(jnp.float32) / N
-        zeros_mn = lambda: jnp.zeros((m, n), jnp.float32)
+        tr = jnp.sum(Kx * Kx.T)
+        dm = m_pad - Kx.shape[0]
+        if dm:
+            Kx = jnp.pad(Kx, ((0, dm), (0, dm)))
+        Kx = shard(Kx)
+        zeros_mn = lambda: shard(jnp.zeros((m_pad, n), jnp.float32))
         carry = (
-            zeros_mn(),                       # F
-            jnp.zeros((n, 1), jnp.float32),   # S
-            jnp.zeros((m, 1), jnp.float32),   # Mu
-            jnp.zeros((n, 1), jnp.float32),   # Lambda
-            zeros_mn(),                       # first moment
-            zeros_mn(),                       # second moment
-            a0.astype(jnp.float32),           # a
-            zeros_mn(),                       # FKy
-            zeros_mn(),                       # Kx FKy
+            zeros_mn(),                           # F
+            jnp.zeros((n, 1), jnp.float32),       # S
+            jnp.zeros((m_pad, 1), jnp.float32),   # Mu
+            jnp.zeros((n, 1), jnp.float32),       # Lambda
+            zeros_mn(),                           # first moment
+            zeros_mn(),                           # second moment
+            a0.astype(jnp.float32),               # a
+            zeros_mn(),                           # FKy
+            zeros_mn(),                           # Kx FKy
         )
-        return Kx, Ky, jnp.sum(Kx * Kx.T), carry
+        return Kx, Ky, tr, carry
 
     # jnp.asarray keeps already-device-resident distance matrices in place
     # (the estimator hands them over without a host round-trip)
     Kx, Ky, tr_kx_kx, carry = _prep(
         jnp.asarray(Kx), jnp.asarray(Ky),
-        jnp.asarray(np.sqrt(dy / dx)), m, n, N)
+        jnp.asarray(np.sqrt(dy / dx)), m_pad, n, N)
 
     if use_pallas is None:
         # Measured on the v5e (N=4096, round 2): XLA's own fusion of the
@@ -203,7 +234,7 @@ def prime_dual(
         carry = _run_chunk(carry, jnp.asarray(i, jnp.int32), Kx, Ky,
                            tr_kx_kx, chunk, float(rho), float(epsilon),
                            int(delay), precision, bool(use_pallas),
-                           rows_sharding)
+                           rows_sharding, m if m_pad > m else 0)
         i += chunk
         if verbose and i % log_every == 0:
             F, _, _, _, _, _, a, FKy, _ = carry
@@ -214,4 +245,7 @@ def prime_dual(
     # Device array out: the trainer consumes F as a jitted operand, so a
     # host round-trip of the N x N matrix (338 MB at 9k cells) is pure
     # transfer waste; np consumers fetch transparently via __array__.
-    return carry[0]
+    F = carry[0]
+    if m_pad > m:
+        F = F[:m]  # drop the sharding pad rows (they are exactly zero)
+    return F

@@ -21,6 +21,7 @@ implicitly through pjit.
 
 from __future__ import annotations
 
+import contextlib
 import time
 import warnings
 from typing import Any, Dict, List, Optional, Sequence
@@ -43,13 +44,25 @@ from .sampling import detect_sampling_method, make_sampler
 
 
 def _maybe_shard_rows(x, mesh):
-    """Row-shard a concrete array over the 'data' axis when its leading dim
-    divides the mesh; otherwise leave it replicated (device_put cannot pad)."""
-    n_dev = int(np.prod([mesh.shape[a] for a in ('data',) if a in mesh.shape]))
-    if n_dev > 1 and x.shape[0] % n_dev == 0:
-        spec = PartitionSpec('data', *([None] * (x.ndim - 1)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
-    return x
+    """Row-shard a concrete array over the 'data' axis, zero-padding the
+    leading dim up to a multiple of the axis size first.
+
+    Padding is mandatory, not cosmetic: device_put rejects uneven shards and
+    GSPMD sharding constraints silently REPLICATE on non-divisible dims
+    (measured on jax 0.9), so without it an odd-N atlas fit would hold a
+    full copy of data/P/F on every chip. Consumers gather by row index
+    (< true N) or slice the pad back off, so the zero rows are inert."""
+    n_dev = int(mesh.shape.get('data', 1)) if 'data' in mesh.shape else 1
+    if n_dev <= 1:
+        return x
+    pad = (-x.shape[0]) % n_dev
+    if pad:
+        filler = ((np.zeros if isinstance(x, np.ndarray) else jnp.zeros)
+                  ((pad,) + x.shape[1:], x.dtype))
+        cat = np.concatenate if isinstance(x, np.ndarray) else jnp.concatenate
+        x = cat([x, filler], axis=0)
+    spec = PartitionSpec('data', *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
 
 
 @flax.struct.dataclass
@@ -80,22 +93,23 @@ class JamieTrainer:
         self.config = config
         self.model = model
         self.mesh = mesh
-        if config.prng_impl is not None:
-            # Process-global by jax design; documented on the config field.
-            jax.config.update('jax_default_prng_impl', config.prng_impl)
         cdtype = resolve_dtype(config.compute_dtype)
 
         self.rows = [int(d.shape[0]) for d in dataset]
         self.cols = [int(d.shape[1]) for d in dataset]
 
-        # jnp.asarray keeps device-resident inputs in place (no host hop)
-        self.data = [jnp.asarray(d, dtype=jnp.float32) for d in dataset]
         if mesh is not None:
             # Keep the HBM-resident dataset row-sharded across the mesh so
-            # per-chip memory scales as N/devices (when N divides the mesh;
-            # device_put of concrete arrays cannot pad, so odd sizes stay
-            # replicated — batch compute still shards via _constrain below).
-            self.data = [_maybe_shard_rows(d, mesh) for d in self.data]
+            # per-chip memory scales as ceil(N/devices); non-divisible N is
+            # zero-padded (see _maybe_shard_rows) and the pad rows are never
+            # gathered (sampler indices < N) — final_embed slices them off.
+            self.data = [_maybe_shard_rows(
+                np.asarray(d, np.float32) if isinstance(d, np.ndarray) else d,
+                mesh) for d in dataset]
+            self.data = [d.astype(jnp.float32) for d in self.data]
+        else:
+            # jnp.asarray keeps device-resident inputs in place (no host hop)
+            self.data = [jnp.asarray(d, dtype=jnp.float32) for d in dataset]
 
         # P/F accept sentinels and sparse layouts so atlas-scale fits
         # (100k+ cells) never materialize the N x N prior:
@@ -231,7 +245,32 @@ class JamieTrainer:
         self._chunk_fn_cache: Dict[int, Any] = {}
 
     # ------------------------------------------------------------------ init
+    @contextlib.contextmanager
+    def _prng_scope(self):
+        """Apply config.prng_impl for the duration of a call, then restore.
+
+        jax's default PRNG impl is a process-global config and raw PRNGKey
+        arrays are re-interpreted under whatever impl is current at use
+        time — so the impl must be identical whenever this trainer's keys
+        are created or consumed (init_state and fit both enter this scope),
+        and must NOT leak into later, unrelated trainers constructed with
+        prng_impl=None (the round-2 behavior this replaces)."""
+        impl = self.config.prng_impl
+        if impl is None:
+            yield
+            return
+        prev = jax.config.jax_default_prng_impl
+        jax.config.update('jax_default_prng_impl', impl)
+        try:
+            yield
+        finally:
+            jax.config.update('jax_default_prng_impl', prev)
+
     def init_state(self, seed: Optional[int] = None) -> TrainState:
+        with self._prng_scope():
+            return self._init_state(seed)
+
+    def _init_state(self, seed: Optional[int] = None) -> TrainState:
         seed = self.config.manual_seed if seed is None else seed
         root = jax.random.PRNGKey(seed)
         k_init, k_drop, k_rep, k_run = jax.random.split(root, 4)
@@ -429,20 +468,37 @@ class JamieTrainer:
             metrics_path: Optional[str] = None) -> TrainState:
         """Run the training loop (optionally resuming from `state`).
 
+        The TrainState buffers are DONATED to the jitted epoch chunks
+        (params/Adam moments/batch stats update in place, halving optimizer
+        HBM traffic); a caller-supplied `state` is therefore copied on entry
+        so the caller's object — e.g. a restored checkpoint kept around for
+        comparison — stays valid after fit returns.
+
         checkpoint_dir/checkpoint_every: periodic full-TrainState snapshots
         every N epochs (rounded to chunk boundaries) — the preemption-safety
         net the reference lacks (its only restartability is notebook-level
-        model caching, SURVEY.md section 5).
+        model caching, SURVEY.md section 5). Also reachable from the public
+        API via the JamieConfig fields of the same names.
         metrics_path: optional JSONL file; one structured record per chunk
         (epoch range, per-loss means, wall seconds, device HBM stats) —
         the structured replacement for the reference's print logging
         (jamie.py:763-775).
         """
+        with self._prng_scope():
+            return self._fit(state, seed, checkpoint_dir, checkpoint_every,
+                             metrics_path)
+
+    def _fit(self, state, seed, checkpoint_dir, checkpoint_every,
+             metrics_path) -> TrainState:
         import json
         from ..core.timing import device_memory_stats
         cfg = self.config
         if state is None:
-            state = self.init_state(seed)
+            state = self._init_state(seed)
+        else:
+            # Donation protection: keep the caller's buffers alive.
+            state = jax.tree.map(
+                lambda x: jnp.array(x) if hasattr(x, 'shape') else x, state)
         last_ckpt_epoch = int(state.epoch)
         metrics_f = open(metrics_path, 'a') if metrics_path else None
         chunk_t0 = time.perf_counter()
@@ -558,8 +614,12 @@ class JamieTrainer:
             vals = np.concatenate([self.pf_ratio * Pn.vals,
                                    (1 - self.pf_ratio) * Fn.vals], axis=1)
             return SparseRows(cols, vals, (n0, n1))
-        P = (jnp.asarray(Psp.to_dense()) if Psp is not None else self.P)
-        F = (jnp.asarray(Fsp.to_dense()) if Fsp is not None else self.F)
+        # [:n0] drops any sharding pad rows (zero rows leave column sums —
+        # and so col_normalize — unchanged)
+        P = (jnp.asarray(Psp.to_dense()) if Psp is not None
+             else self.P[:n0])
+        F = (jnp.asarray(Fsp.to_dense()) if Fsp is not None
+             else self.F[:n0])
         return self.pf_ratio * col_normalize(P) \
             + (1 - self.pf_ratio) * col_normalize(F)
 
@@ -576,7 +636,9 @@ class JamieTrainer:
                 lambda v, x, i: self.model.apply(
                     v, x, i, train=False, method=type(self.model).embed_one),
                 static_argnames='i')
-        return [np.asarray(self._embed_jit(variables, x, i), dtype=np.float32)
+        # [:rows[i]] drops the zero rows _maybe_shard_rows padded on
+        return [np.asarray(self._embed_jit(variables, x, i),
+                           dtype=np.float32)[:self.rows[i]]
                 for i, x in enumerate(self.data)]
 
     # ------------------------------------------------ mid-training resume

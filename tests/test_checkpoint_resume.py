@@ -74,3 +74,46 @@ def test_metrics_jsonl(tmp_path):
     assert records[0]['epoch_end'] == 5
     assert set(records[0]['losses']) == {'KL', 'Rec', 'CosSim', 'F'}
     assert records[0]['seconds'] > 0
+
+def test_checkpoint_and_metrics_via_config(tmp_path):
+    """checkpoint_every/metrics_path ride the public config so plain
+    JAMIE(...).fit_transform gets the preemption-safety net (round-2
+    verdict item 5: trainer.fit accepted these but the estimator never
+    exposed them)."""
+    import json
+    from jamie_tpu import JAMIE
+
+    rng = np.random.RandomState(7)
+    z = rng.randn(40, 4).astype(np.float32)
+    data = [(z @ rng.randn(4, 10)).astype(np.float32),
+            (z @ rng.randn(4, 8)).astype(np.float32)]
+    mpath = str(tmp_path / 'metrics.jsonl')
+    jm = JAMIE(epoch_DNN=10, min_epochs=2, batch_size=20, epoch_chunk=5,
+               pca_dim=None, use_f_tilde=False, use_early_stop=False,
+               dropout=0.0, log_DNN=1000,
+               checkpoint_dir=str(tmp_path / 'ckpts'), checkpoint_every=5,
+               metrics_path=mpath)
+    jm.fit_transform(dataset=data)
+    records = [json.loads(line) for line in open(mpath)]
+    assert len(records) == 2
+    ckpts = sorted((tmp_path / 'ckpts').iterdir())
+    assert len(ckpts) >= 1
+    restored = jm.trainer.restore_fit_state(str(ckpts[0]))
+    assert int(restored.epoch) in (5, 10)
+
+
+def test_fit_does_not_invalidate_caller_state(tmp_path):
+    """fit(state=...) donates buffers internally but must not delete the
+    caller's TrainState (e.g. a restored checkpoint kept for comparison) —
+    ADVICE round 2."""
+    trainer = _trainer(epoch_DNN=10)
+    state = trainer.fit()
+    path = str(tmp_path / 'ckpt3')
+    trainer.save_fit_state(path, state)
+    kept = trainer.restore_fit_state(path)
+    trainer2 = _trainer(epoch_DNN=15)
+    trainer2.fit(state=kept)
+    # The caller's object is still alive and usable after fit
+    emb = trainer2.final_embed(kept)
+    assert np.isfinite(emb[0]).all()
+    assert int(kept.epoch) == 10
