@@ -138,5 +138,36 @@ def test_prng_impl_rbg_runs():
                           np.zeros((40, 40), np.float32))
         tr.fit()
         assert np.isfinite(tr.epoch_losses).all()
+        # The impl is scoped to init/fit, not sticky: a later trainer with
+        # prng_impl=None must not silently inherit 'rbg' (ADVICE round 2).
+        assert jax.config.jax_default_prng_impl == old
     finally:
         jax.config.update('jax_default_prng_impl', old)
+
+
+def test_clip_adam_matches_optax_chain():
+    """The folded clip+Adam transformation (ops/fused_optimizer.py) matches
+    optax.chain(clip_by_global_norm, adam) step for step, including steps
+    where clipping activates."""
+    import jax.numpy as jnp
+    import optax
+
+    from jamie_tpu.ops.fused_optimizer import clip_adam
+
+    rng = np.random.RandomState(2)
+    params = {'a': jnp.asarray(rng.randn(32, 8), jnp.float32),
+              'b': jnp.asarray(rng.randn(8), jnp.float32)}
+    ref_tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
+    new_tx = clip_adam(1e-3)
+    s_ref, s_new = ref_tx.init(params), new_tx.init(params)
+    p_ref = p_new = params
+    for t in range(20):
+        g = {'a': jnp.asarray(rng.randn(32, 8) * (5 if t % 3 else 0.1),
+                              jnp.float32),
+             'b': jnp.asarray(rng.randn(8), jnp.float32)}
+        u1, s_ref = ref_tx.update(g, s_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, u1)
+        u2, s_new = new_tx.update(g, s_new, p_new)
+        p_new = optax.apply_updates(p_new, u2)
+    for k in params:
+        np.testing.assert_allclose(p_ref[k], p_new[k], rtol=1e-6, atol=1e-7)
