@@ -9,9 +9,16 @@ scGLUE fit). In bf16 the same matrix is 4.4 GB and fits v5e HBM whole,
 and every consumer already does its matmuls in bf16 — so upload once,
 keep it resident, and share it across the distance and PCA phases.
 
-The cache is keyed by the host array's identity (weakref-validated) and
-must be released before training claims HBM (estimator does this after
+The cache is keyed by the host array's identity (weakref-validated, with
+a collection callback so a dead host array releases its device copy
+immediately rather than waiting for an id-collision lookup) and must be
+released before training claims HBM (estimator does this after
 preprocessing).
+
+Contract: the host array must not be mutated in place while resident —
+identity caching cannot see content changes, so a mutated array would
+silently serve stale distances/PCA. Both in-tree consumers (distances,
+preprocess) treat their inputs as read-only.
 """
 
 from __future__ import annotations
@@ -26,6 +33,23 @@ import numpy as np
 DEFAULT_BUDGET_BYTES = 6 * 1024 ** 3
 
 _cache: dict = {}   # id(arr) -> (weakref to arr, device bf16 array)
+
+
+def host_bf16(arr: np.ndarray) -> np.ndarray:
+    """Fast host f32 -> bf16 cast (round-to-nearest-even, bit-exact with
+    ml_dtypes). ml_dtypes' astype is a generic scalar loop (~0.1 GB/s
+    measured — 132 s for scGLUE's 17.8 GB ATAC); torch's vectorized
+    multithreaded cast runs ~10x faster and the uint16 views bridge it back
+    to an ml_dtypes.bfloat16 numpy array without a copy."""
+    import ml_dtypes
+    arr = np.ascontiguousarray(arr, dtype=np.float32)
+    try:
+        import torch
+        out = (torch.from_numpy(arr).to(torch.bfloat16)
+               .view(torch.uint16).numpy().view(ml_dtypes.bfloat16))
+        return out.reshape(arr.shape)
+    except ImportError:
+        return arr.astype(ml_dtypes.bfloat16)
 
 
 def device_bf16(arr, budget_bytes: Optional[int] = None):
@@ -49,24 +73,45 @@ def device_bf16(arr, budget_bytes: Optional[int] = None):
             return dev
         del _cache[key]
     try:
-        ref = weakref.ref(arr)
+        # The callback evicts the entry (dropping the multi-GB device copy)
+        # the moment the host array is garbage-collected; without it a dead
+        # entry leaked HBM until an id-collision lookup happened to hit it.
+        ref = weakref.ref(arr, lambda _r, _key=key: _cache.pop(_key, None))
     except TypeError:
         return None
-    # Cast to bf16 on the HOST (ml_dtypes) so the link carries 2 bytes per
-    # element — the transfer, not the cast, is the bottleneck. Row chunks
-    # bound the staging buffers.
-    import ml_dtypes
+    # Cast to bf16 on the HOST so the link carries 2 bytes per element —
+    # the transfer, not the cast, is the bottleneck (see host_bf16). Row
+    # chunks bound the staging buffers.
     n = arr.shape[0]
     rows = max(int((1 << 29) / max(arr.shape[1] * 2, 1)), 64)
     parts = [
-        jnp.asarray(np.ascontiguousarray(arr[s:s + rows]).astype(
-            ml_dtypes.bfloat16))
+        jnp.asarray(host_bf16(arr[s:s + rows]))
         for s in range(0, n, rows)
     ]
     dev = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
     dev = jax.block_until_ready(dev)
     _cache[key] = (ref, dev)
     return dev
+
+
+def peek_residency(arr):
+    """The cached device copy for `arr`, or None — never uploads."""
+    hit = _cache.get(id(arr))
+    if hit is not None and hit[0]() is arr:
+        return hit[1]
+    return None
+
+
+def install_residency(arr, dev) -> None:
+    """Register a device bf16 copy built elsewhere (e.g. assembled from the
+    overlapped distance build's feature chunks) so later device_bf16(arr)
+    callers — the PCA phase — reuse it instead of re-uploading."""
+    key = id(arr)
+    try:
+        ref = weakref.ref(arr, lambda _r, _key=key: _cache.pop(_key, None))
+    except TypeError:
+        return
+    _cache[key] = (ref, dev)
 
 
 def clear_residency_cache() -> None:

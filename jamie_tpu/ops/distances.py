@@ -105,6 +105,94 @@ def _pairwise_euclidean_feature_chunked(x, y, squared, self_dist,
 # chunks instead of residing there whole
 _FEATURE_CHUNK_THRESHOLD = 500_000_000
 
+# --------------------------------------------------------------------------
+# Overlapped triangular Gram: the wide-modality (scGLUE-class) fast path
+# --------------------------------------------------------------------------
+# Round 2 paid upload + Gram SEQUENTIALLY: device_bf16 blocks until the whole
+# 4.4 GB bf16 matrix is resident, then one huge x @ x.T runs (288 s Distance
+# at 9190 x 241757 vs ~207 s full-Gram roofline). Two independent wins:
+#   1. OVERLAP: feature-chunked uploads with the partial Gram of chunk k
+#      computing while chunk k+1 casts/transfers on host (async dispatch) —
+#      hides most of the host->HBM transfer behind MXU time.
+#   2. TRIANGULAR: x @ x.T is symmetric; computing only the lower-triangle
+#      row blocks cuts matmul FLOPs to (B+1)/2B (56% at B=8 blocks) and the
+#      assembled matrix is mirrored.
+# The uploaded chunks are concatenated into the whole resident bf16 matrix
+# afterwards and installed in the residency cache for the PCA phase — the
+# transfer still happens exactly once per fit.
+
+_TRI_BLOCKS = 8
+_TRI_PAIRS = tuple((i, j) for i in range(_TRI_BLOCKS) for j in range(i + 1))
+_TRI_INDEX = {p: k for k, p in enumerate(_TRI_PAIRS)}
+
+
+@partial(jax.jit, static_argnames=('nb',), donate_argnums=(0, 1))
+def _tri_gram_accum(acc, sq, xb, nb: int):
+    """Accumulate one feature chunk into the triangular block Gram.
+
+    acc: (n_pairs, nb, nb) f32 lower-triangle blocks; sq: (n_pad,) f32
+    squared norms; xb: (n, fc) bf16 chunk, zero-padded here to nb*_TRI_BLOCKS
+    rows. One dispatch per chunk; XLA schedules the unrolled block matmuls
+    back-to-back on the MXU while the host casts/transfers the next chunk."""
+    n_pad = nb * _TRI_BLOCKS
+    if xb.shape[0] < n_pad:
+        xb = jnp.pad(xb, ((0, n_pad - xb.shape[0]), (0, 0)))
+    sq = sq + jnp.einsum('nf,nf->n', xb, xb,
+                         preferred_element_type=jnp.float32)
+    rows = [xb[i * nb:(i + 1) * nb] for i in range(_TRI_BLOCKS)]
+    parts = [jnp.matmul(rows[i], rows[j].T,
+                        preferred_element_type=jnp.float32)
+             for (i, j) in _TRI_PAIRS]
+    return acc + jnp.stack(parts), sq
+
+
+@partial(jax.jit, static_argnames=('n_real', 'squared'))
+def _tri_gram_assemble(acc, sq, n_real: int, squared: bool):
+    """Mirror the lower-triangle blocks into the full (self-)distance
+    matrix, slicing the row pad back off and zeroing the diagonal."""
+    block_rows = []
+    for i in range(_TRI_BLOCKS):
+        row = [acc[_TRI_INDEX[(i, j)]] if j <= i
+               else acc[_TRI_INDEX[(j, i)]].T
+               for j in range(_TRI_BLOCKS)]
+        block_rows.append(jnp.concatenate(row, axis=1))
+    g_full = jnp.concatenate(block_rows, axis=0)
+    d2 = jnp.maximum(sq[:, None] + sq[None, :] - 2.0 * g_full, 0.0)
+    d2 = d2[:n_real, :n_real]
+    d = d2 if squared else jnp.sqrt(d2)
+    return d * (1.0 - jnp.eye(n_real, dtype=d.dtype))
+
+
+def _pairwise_euclidean_overlapped_bf16(x: np.ndarray, squared: bool,
+                                        chunk_bytes: int = 192 << 20):
+    """Self-distances for a huge matrix: overlapped bf16 feature-chunk
+    upload + triangular block Gram; installs the assembled resident bf16
+    matrix for the PCA phase. Returns the (n, n) device distance matrix."""
+    from ..core.residency import host_bf16, install_residency
+
+    n, f = x.shape
+    # Row blocks sized to a multiple of 128 so every block matmul tiles the
+    # MXU cleanly; pad rows are zero and sliced off in assembly.
+    nb = -(-n // (_TRI_BLOCKS * 128)) * 128
+    n_pad = nb * _TRI_BLOCKS
+    fc = max(int(chunk_bytes / (n_pad * 2)), 1024)
+    acc = jnp.zeros((len(_TRI_PAIRS), nb, nb), jnp.float32)
+    sq = jnp.zeros((n_pad,), jnp.float32)
+    chunks = []
+    for s in range(0, f, fc):
+        xb_host = host_bf16(x[:, s:s + fc])
+        xb = jnp.asarray(xb_host)  # async H2D; matmuls of chunk k-1 overlap
+        chunks.append(xb)
+        acc, sq = _tri_gram_accum(acc, sq, xb, nb)
+    d = _tri_gram_assemble(acc, sq, n, squared)
+    # Stitch the whole resident matrix from the already-uploaded (unpadded)
+    # chunks and share it with the PCA phase: the 2-byte/element transfer
+    # still happens exactly once per fit.
+    resident = jnp.concatenate(chunks, axis=1)
+    del chunks
+    install_residency(x, jax.block_until_ready(resident))
+    return d
+
 
 @partial(jax.jit, static_argnames=('squared', 'self_dist'))
 def _euclidean_resident_bf16(x_bf16, squared: bool, self_dist: bool):
@@ -127,11 +215,25 @@ def _rows_sharding(mesh):
     return NamedSharding(mesh, P('data', None))
 
 
+def _pad_rows_for(mesh, x):
+    """Zero-pad the leading dim to a multiple of the 'data' axis size.
+    GSPMD constraints silently REPLICATE on non-divisible dims (measured on
+    jax 0.9 — no internal padding), so uneven N must be padded explicitly
+    for the row-sharded builds to actually split memory."""
+    n_dev = int(mesh.shape.get('data', 1))
+    pad = (-x.shape[0]) % n_dev if n_dev > 1 else 0
+    if pad:
+        x = jnp.concatenate(
+            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+    return x, pad
+
+
 @partial(jax.jit, static_argnames=('squared', 'rows'))
 def _euclidean_sharded(x, y, squared: bool, rows):
     """Row-sharded Gram distance: each chip holds its rows of x and the whole
-    y, producing its row block of the N x M output. with_sharding_constraint
-    (not device_put) so uneven N still shards — GSPMD pads internally."""
+    y, producing its row block of the (padded) N x M output. The caller pads
+    x's rows to the axis size (see _pad_rows_for) and slices the pad back
+    off."""
     x = jax.lax.with_sharding_constraint(x, rows)
     y_sq = jnp.sum(y * y, axis=1)
     xb_sq = jnp.sum(x * x, axis=1)[:, None]
@@ -145,10 +247,19 @@ def _pairwise_euclidean_impl(x, y=None, squared=False, block=4096, mesh=None):
     if (np.ndim(x) == 2
             and x.shape[0] * x.shape[1] > _FEATURE_CHUNK_THRESHOLD):
         if self_dist:
-            # Prefer a whole-matrix bf16 device residency (one 2-byte/elem
-            # upload shared with the PCA phase) over f32 streaming
-            from ..core.residency import device_bf16
-            xdev = device_bf16(np.asarray(x))
+            from ..core.residency import (DEFAULT_BUDGET_BYTES, device_bf16,
+                                          peek_residency)
+            xnp = np.asarray(x)
+            # Already resident (e.g. PCA ran first): one fused Gram.
+            xdev = peek_residency(xnp)
+            if xdev is not None:
+                return _euclidean_resident_bf16(xdev, squared, True)
+            if xnp.size * 2 <= DEFAULT_BUDGET_BYTES and isinstance(
+                    xnp, np.ndarray):
+                # Fresh build: overlapped chunk upload + triangular Gram
+                # (installs the residency for the PCA phase as it goes).
+                return _pairwise_euclidean_overlapped_bf16(xnp, squared)
+            xdev = device_bf16(xnp)
             if xdev is not None:
                 return _euclidean_resident_bf16(xdev, squared, True)
         return _pairwise_euclidean_feature_chunked(
@@ -157,7 +268,10 @@ def _pairwise_euclidean_impl(x, y=None, squared=False, block=4096, mesh=None):
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     if mesh is not None:
-        d = _euclidean_sharded(x, y, squared, _rows_sharding(mesh))
+        xp, pad = _pad_rows_for(mesh, x)
+        d = _euclidean_sharded(xp, y, squared, _rows_sharding(mesh))
+        if pad:
+            d = d[:x.shape[0]]
         if self_dist:
             d = d * (1.0 - jnp.eye(x.shape[0], dtype=d.dtype))
         return d
@@ -196,15 +310,18 @@ def _correlation_dist(x, y=None):
     return jnp.clip(1.0 - xn @ yn.T, 0.0, 2.0)
 
 
-@partial(jax.jit, static_argnames=('center', 'rows'))
-def _angular_sharded(x, center: bool, rows):
-    """cosine/correlation distance with row-sharded output (GSPMD)."""
+@partial(jax.jit, static_argnames=('center', 'rows', 'n_real'))
+def _angular_sharded(x, center: bool, rows, n_real: int):
+    """cosine/correlation distance with row-sharded output (GSPMD). The
+    input arrives pre-padded to the mesh (see _pad_rows_for); the pad rows
+    are sliced off after the sharded product."""
     if center:
         x = x - jnp.mean(x, axis=1, keepdims=True)
     xn = x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     xs = jax.lax.with_sharding_constraint(xn, rows)
     d = jnp.clip(1.0 - xs @ xn.T, 0.0, 2.0)
-    return jax.lax.with_sharding_constraint(d, rows)
+    d = jax.lax.with_sharding_constraint(d, rows)
+    return d[:n_real, :n_real]
 
 
 @jax.jit
@@ -249,8 +366,9 @@ def pairwise_distance(x, metric: str = 'euclidean', block: int = 4096,
     if metric in ('cosine', 'correlation'):
         xj = jnp.asarray(x, jnp.float32)
         if mesh is not None:
-            return _angular_sharded(xj, metric == 'correlation',
-                                    _rows_sharding(mesh))
+            xp, _ = _pad_rows_for(mesh, xj)
+            return _angular_sharded(xp, metric == 'correlation',
+                                    _rows_sharding(mesh), xj.shape[0])
         return (_cosine_dist if metric == 'cosine' else _correlation_dist)(xj)
     if metric in _HOST_FALLBACK_METRICS:
         from sklearn.metrics.pairwise import pairwise_distances

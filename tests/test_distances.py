@@ -150,3 +150,46 @@ def test_residency_cache_shared_and_cleared():
     c = residency.device_bf16(X)
     assert c is not a
     residency.clear_residency_cache()
+
+
+def test_residency_cache_evicts_on_gc():
+    """A dead host array releases its device bf16 copy immediately via the
+    weakref callback (ADVICE round 2: the round-2 cache leaked HBM until an
+    id-collision lookup)."""
+    from jamie_tpu.core import residency
+
+    residency.clear_residency_cache()
+    X = np.random.RandomState(0).randn(64, 8).astype(np.float32)
+    assert residency.device_bf16(X) is not None
+    assert len(residency._cache) == 1
+    del X
+    import gc
+    gc.collect()
+    assert len(residency._cache) == 0
+
+
+def test_overlapped_triangular_gram_matches_exact(monkeypatch):
+    """The overlapped bf16 feature-chunk + triangular-block Gram path (the
+    scGLUE-class Distance fast path) matches the exact f32 build to
+    bf16-input tolerance, installs the residency for the PCA phase, and
+    handles row counts that don't tile the 8x128 blocks."""
+    import jamie_tpu.ops.distances as dmod
+    from jamie_tpu.core import residency
+
+    rng = np.random.RandomState(8)
+    for n in (96, 130):  # both < and not-a-multiple-of the block grid
+        X = rng.randn(n, 700).astype(np.float32)
+        ref = np.asarray(pairwise_distance(X, 'euclidean'))
+        residency.clear_residency_cache()
+        ours = np.asarray(dmod._pairwise_euclidean_overlapped_bf16(
+            X, squared=False, chunk_bytes=n * 100 * 2))  # ~7 chunks
+        assert np.abs(ours - ref).max() / max(ref.max(), 1) < 0.01
+        np.testing.assert_allclose(np.diag(ours), 0, atol=1e-4)
+        np.testing.assert_allclose(ours, ours.T, atol=1e-4)
+        # the resident copy was installed from the uploaded chunks
+        dev = residency.peek_residency(X)
+        assert dev is not None and dev.shape == X.shape
+        assert str(dev.dtype) == 'bfloat16'
+        np.testing.assert_allclose(np.asarray(dev, np.float32), X,
+                                   rtol=1e-2, atol=1e-2)
+        residency.clear_residency_cache()
