@@ -1,6 +1,13 @@
-"""Headline benchmark: SNARE-seq-class coupled-VAE training throughput.
+"""Headline benchmark: SNARE-seq-class coupled-VAE training throughput,
+plus the whole-pipeline scGLUE-shaped fit.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+"extra" carries the second, pipeline-level metric (round-2 verdict item 2:
+the train loop alone hid solver/distance/preprocessing wins): wall-clock of
+a FULL fit_transform at the scGLUE shape (9190 x 28930 / 241757 — the
+reference's largest committed benchmark, 52,557 s CPU,
+time-and-memory.ipynb cell 33). Set JAMIE_BENCH_PIPELINE=0 to skip it
+(the pipeline leg costs ~8-10 min on one chip, synth included).
 
 Baseline (BASELINE.md): the reference PyTorch-CPU training phase sustains
 ~6-17k cell-samples/s (batch 512 x batches/epoch over epoch time) on its
@@ -16,11 +23,13 @@ preprocessing, excluding compilation (warmup chunk discarded).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 BASELINE_CELLS_PER_SEC = 17_000.0
+SCGLUE_REF_SECONDS = 52_557.4      # time-and-memory.ipynb cell 33 (CPU)
 
 
 def make_snare_like(n=1047, d_rna=3000, d_atac=5000, seed=0):
@@ -69,33 +78,83 @@ def main():
     P = np.eye(n, dtype=np.float32)
     F = np.zeros((n, n), np.float32)
     trainer = JamieTrainer(cfg, model, transformed, P, F)
-    state = trainer.init_state()
+    # The prng scope applies cfg.prng_impl (rbg) while keys are created AND
+    # while the chunk fn traces — fit() does this internally; driving
+    # _chunk_fn directly requires entering it explicitly.
+    with trainer._prng_scope():
+        state = trainer.init_state()
 
-    chunk_fn = trainer._chunk_fn(cfg.epoch_chunk)
-    # Warmup: compile + first chunk
-    state, _ = chunk_fn(state)
-    import jax
-    jax.block_until_ready(state.params)
-
-    # Timed chunks
-    n_timed_chunks = 5
-    t0 = time.perf_counter()
-    for _ in range(n_timed_chunks):
+        chunk_fn = trainer._chunk_fn(cfg.epoch_chunk)
+        # Warmup: compile + first chunk
         state, _ = chunk_fn(state)
-    jax.block_until_ready(state.params)
-    dt = time.perf_counter() - t0
+        import jax
+        jax.block_until_ready(state.params)
+
+        # Timed chunks
+        n_timed_chunks = 5
+        t0 = time.perf_counter()
+        for _ in range(n_timed_chunks):
+            state, _ = chunk_fn(state)
+        jax.block_until_ready(state.params)
+        dt = time.perf_counter() - t0
 
     epochs = n_timed_chunks * cfg.epoch_chunk
     steps = epochs * trainer.len_dataloader
     cell_samples = steps * trainer.batch_size
     cells_per_sec = cell_samples / dt
 
-    print(json.dumps({
+    record = {
         'metric': 'snare_seq_train_cells_per_sec_per_chip',
         'value': round(cells_per_sec, 1),
         'unit': 'cell-samples/s',
         'vs_baseline': round(cells_per_sec / BASELINE_CELLS_PER_SEC, 2),
-    }))
+    }
+    if os.environ.get('JAMIE_BENCH_PIPELINE', '1') != '0':
+        del trainer, state, model, transformed, pres, data
+        record['extra'] = scglue_pipeline()
+    print(json.dumps(record))
+
+
+def synth_scglue(seed=0, latent=32):
+    """scGLUE-shaped synthetic pair (9190 x 28930 / 241757). The wide ATAC
+    modality is rank-`latent` with no per-element noise — the phase costs
+    (distance Gram, PCA sketch, solver, train loop) depend on shape, not
+    spectrum tails, and drawing 2.2e9 extra normals costs minutes of host
+    time the metric shouldn't include."""
+    rng = np.random.default_rng(seed)
+    n = 9190
+    z = rng.standard_normal((n, latent), dtype=np.float32)
+
+    def one(f, noise):
+        out = np.empty((n, f), np.float32)
+        for s in range(0, f, 16384):
+            e = min(s + 16384, f)
+            w = rng.standard_normal((latent, e - s), dtype=np.float32)
+            out[:, s:e] = z @ w
+            if noise:
+                out[:, s:e] += 0.3 * rng.standard_normal((n, e - s),
+                                                         dtype=np.float32)
+        return out
+
+    return [one(28930, True), one(241757, False)]
+
+
+def scglue_pipeline():
+    """Full fit_transform at the scGLUE shape; the reference's de-facto
+    whole-pipeline benchmark (52,557 s CPU)."""
+    from jamie_tpu import JAMIE
+
+    data = synth_scglue()
+    t0 = time.perf_counter()
+    jm = JAMIE(epoch_chunk=500, log_pd=2000, log_DNN=100_000,
+               prng_impl='rbg', model_matmul_dtype='bfloat16')
+    jm.fit_transform(dataset=data)
+    seconds = time.perf_counter() - t0
+    return {
+        'scglue_pipeline_seconds': round(seconds, 1),
+        'scglue_pipeline_vs_ref_cpu': round(SCGLUE_REF_SECONDS / seconds, 1),
+        'epochs_run': jm.epochs_run,
+    }
 
 
 if __name__ == '__main__':

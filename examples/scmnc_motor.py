@@ -31,7 +31,10 @@ KWARGS = dict(
 )
 
 
-def load_scmnc_motor():
+def load_scmnc_motor(normalize=None):
+    """normalize: None -> the shipped log-CPM-1e4 default, or a callable
+    applied to the raw cells x genes count matrix (the sweep harness,
+    examples/scmnc_motor_sweep.py, passes the candidates)."""
     from jamie_tpu.rdata import load_rda
     path = DATA + 'motor_data_filtered.rda'
     if not os.path.exists(path):
@@ -49,8 +52,10 @@ def load_scmnc_motor():
     # geneExp_filtered.csv was normalized. Log-CPM recovers the standard
     # patch-seq preprocessing: measured FOSCTTM 0.0000 / LTA 0.868 vs
     # 0.0004 / 0.849 on raw counts (seed 0).
-    data1 = np.log1p(data1 / np.maximum(data1.sum(1, keepdims=True), 1)
-                     * 1e4)
+    if normalize is None:
+        normalize = lambda x: np.log1p(
+            x / np.maximum(x.sum(1, keepdims=True), 1) * 1e4)
+    data1 = normalize(data1)
     data2 = np.stack([np.asarray(edata[k], np.float64)
                       for k in efeat_names], axis=1)
     meta = d['meta']
