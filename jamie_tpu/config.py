@@ -70,6 +70,14 @@ class JamieConfig:
     rho: float = 10.0                 # augmented-lagrangian penalty
     delay: int = 0                    # iterations before scale factor updates
     log_pd: int = 500
+    # Landmark (Nystrom) correspondence: run the exact prime-dual solver on
+    # an L x L landmark subproblem and extend with kNN-Gaussian weights,
+    # returning F as a LowRankF factorization (solvers/landmark.py). None =
+    # auto: engages past SENTINEL_ENTRIES where the dense O(N0*N1) solver
+    # state cannot exist (the reference never ran there, SURVEY §6/7); an
+    # int forces the landmark path with that L at any size (A/B testing).
+    corr_landmarks: Optional[int] = None
+    corr_landmark_k: int = 8          # interpolation kNN fan-in
 
     # --- Distances (jamie/jamie.py:839-890) ---
     distance_mode: str = 'geodesic'   # UnionCom-inherited default

@@ -109,9 +109,18 @@ class JAMIE:
         self.row = [int(np.shape(d)[0]) for d in self.dataset]
         self.col = [int(np.shape(d)[1]) for d in self.dataset]
 
+        # Landmark correspondence path: the dense N x N distance matrices
+        # exist only to feed the dense solver; the landmark solver builds
+        # its own L x L matrices, so skip them entirely (auto past
+        # SENTINEL_ENTRIES where they could not exist anyway).
+        self._use_landmarks = (
+            cfg.use_f_tilde and self.match_result is None
+            and (cfg.corr_landmarks is not None
+                 or self.row[0] * self.row[1] > SENTINEL_ENTRIES))
         self.compute_distances(save_dist=(
             cfg.project_mode in ['tsne']
-            or (self.match_result is None and cfg.use_f_tilde)))
+            or (self.match_result is None and cfg.use_f_tilde
+                and not self._use_landmarks)))
         time.log('Distance')
 
         if not cfg.use_f_tilde:
@@ -143,6 +152,11 @@ class JAMIE:
                     continue
                 if isinstance(mat, SparseRows):
                     mat = mat.to_dense()  # hungarian needs the dense cost
+                from .ops.lowrank import LowRankF
+                if isinstance(mat, LowRankF):
+                    # O(N^3) hungarian is host-bound and needs the dense
+                    # cost; to_dense guards against absurd sizes itself
+                    mat = mat.to_dense()
                 row_ind, col_ind = hungarian_pairs(mat)
                 self.pairs_x.append(row_ind)
                 self.pairs_y.append(col_ind)
@@ -222,7 +236,20 @@ class JAMIE:
                 print('-' * 33)
                 print(f'Find correspondence between Dataset {i + 1} '
                       f'and Dataset {j + 1}')
-                if cfg.corr_method == 'unioncom':
+                if getattr(self, '_use_landmarks', False):
+                    from .solvers.landmark import landmark_correspondence
+                    F = landmark_correspondence(
+                        self.dataset[i], self.dataset[j],
+                        n_landmarks=cfg.corr_landmarks or 2048,
+                        k_interp=cfg.corr_landmark_k,
+                        distance_mode=cfg.distance_mode, kmax=cfg.kmax,
+                        seed=cfg.manual_seed, mesh=self.mesh,
+                        epoch_pd=cfg.epoch_pd, rho=cfg.rho,
+                        epsilon=cfg.epsilon, delay=cfg.delay,
+                        log_pd=cfg.log_pd,
+                        precision=('highest' if cfg.solver_dtype == 'float32'
+                                   else 'default'))
+                elif cfg.corr_method == 'unioncom':
                     F = self.Prime_Dual(
                         [self.dist[i], self.dist[j]],
                         dx=self.col[i], dy=self.col[j])
@@ -272,9 +299,10 @@ class JAMIE:
                 self.P = np.zeros((self.row[0], self.row[1]), np.float32)
         if not (isinstance(self.P, str) or is_sparse_input(self.P)):
             self.P = np.asarray(self.P, np.float32)
+        from .ops.lowrank import LowRankF
         F_in = W[0][1]
-        if isinstance(F_in, str) or is_sparse_input(F_in):
-            self.F = F_in
+        if (isinstance(F_in, (str, LowRankF)) or is_sparse_input(F_in)):
+            self.F = F_in  # sentinel / sparse / low-rank: pass through
         elif hasattr(F_in, 'devices'):
             self.F = F_in  # solver output stays device-resident (no fetch)
         else:

@@ -140,7 +140,17 @@ class JamieTrainer:
             self.P = None
         else:
             self.P = jnp.asarray(P, dtype=jnp.float32)
+        from ..ops.lowrank import LowRankF
+        self._f_lowrank = None
         if self._f_zeros:
+            self.F = None
+        elif isinstance(F, LowRankF):
+            # Landmark correspondence: F = U V^T stays factorized; batch
+            # subsets are two small matmuls (solvers/landmark.py)
+            assert F.shape == tuple(self.rows), (
+                f'low-rank F shape {F.shape} != dataset rows '
+                f'{tuple(self.rows)}')
+            self._f_lowrank = F
             self.F = None
         elif is_sparse_input(F):
             self._f_sparse = as_sparse_rows(F, shape=tuple(self.rows))
@@ -172,6 +182,17 @@ class JamieTrainer:
 
         self._p_ell = _ell_device(self._p_sparse)
         self._f_ell = _ell_device(self._f_sparse)
+        if self._f_lowrank is not None:
+            u, v = self._f_lowrank.u, self._f_lowrank.v
+            if mesh is not None:
+                u = _maybe_shard_rows(u, mesh)
+                v = _maybe_shard_rows(v, mesh)
+            self._f_lr = (u, v)
+        else:
+            self._f_lr = (jnp.zeros((1, 1), jnp.float32),
+                          jnp.zeros((1, 1), jnp.float32))
+        # Row budget when final_corr must compress a low-rank F to sparse
+        self._final_corr_top_k = int(config.f_top_k or 32)
 
         # Batch-size setup, from UnionCom via jamie.py:511-514
         self.batch_size = int(config.batch_size)
@@ -326,12 +347,12 @@ class JamieTrainer:
         return (self.data[0], self.data[1],
                 dummy if self.P is None else self.P,
                 dummy if self.F is None else self.F,
-                self._pairs, mask, self._p_ell, self._f_ell)
+                self._pairs, mask, self._p_ell, self._f_ell, self._f_lr)
 
     def _batch_loss_and_grads(self, params, batch_stats, key, epoch_idx, ops):
         from ..ops.sparse import sparse_gather_batch
         cfg = self.config
-        data0, data1, P, F, pairs, mask, p_ell, f_ell = ops
+        data0, data1, P, F, pairs, mask, p_ell, f_ell, f_lr = ops
         k_s, k_d, k_r = jax.random.split(key, 3)
         idx0, idx1 = self.sampler(k_s, pairs)
         x0 = self._constrain(jnp.take(data0, idx0, axis=0))
@@ -347,6 +368,10 @@ class JamieTrainer:
             P_sub = jnp.take(jnp.take(P, idx0, axis=0), idx1, axis=1)
         if self._f_zeros:
             F_sub = jnp.zeros((self.batch_size, self.batch_size), jnp.float32)
+        elif self._f_lowrank is not None:
+            # Low-rank landmark F: two (B, L) gathers + one MXU matmul
+            F_sub = (jnp.take(f_lr[0], idx0, axis=0)
+                     @ jnp.take(f_lr[1], idx1, axis=0).T)
         elif self._f_sparse is not None:
             F_sub = sparse_gather_batch(f_ell[0], f_ell[1], idx0, idx1)
         else:
@@ -445,8 +470,9 @@ class JamieTrainer:
 
     def _chunk_fn(self, chunk: int):
         if chunk not in self._chunk_fn_cache:
-            def body(state, data0, data1, P, F, pairs, mask, p_ell, f_ell):
-                ops = (data0, data1, P, F, pairs, mask, p_ell, f_ell)
+            def body(state, data0, data1, P, F, pairs, mask, p_ell, f_ell,
+                     f_lr):
+                ops = (data0, data1, P, F, pairs, mask, p_ell, f_ell, f_lr)
                 epochs = state.epoch + jnp.arange(chunk, dtype=jnp.int32)
                 return jax.lax.scan(
                     lambda st, ep: self._epoch_body(st, ep, ops),
@@ -603,7 +629,13 @@ class JamieTrainer:
                 return self._f_sparse
             if self._f_zeros:
                 return SparseRows.from_coo([], [], [], (n0, n1))
-            return None  # dense F
+            if self._f_lowrank is not None and not dense_ok:
+                # Column-normalize in factored form (a row scaling of V),
+                # then keep each row's top correspondences — the dense
+                # (N0, N1) product never exists
+                return self._f_lowrank.col_normalized().top_k(
+                    self._final_corr_top_k)
+            return None  # dense F (or small low-rank, densified below)
 
         Psp, Fsp = p_sparse_form(), f_sparse_form()
         if Psp is not None and Fsp is not None and not dense_ok:
@@ -618,8 +650,12 @@ class JamieTrainer:
         # and so col_normalize — unchanged)
         P = (jnp.asarray(Psp.to_dense()) if Psp is not None
              else self.P[:n0])
-        F = (jnp.asarray(Fsp.to_dense()) if Fsp is not None
-             else self.F[:n0])
+        if Fsp is not None:
+            F = jnp.asarray(Fsp.to_dense())
+        elif self._f_lowrank is not None:
+            F = jnp.asarray(self._f_lowrank.to_dense())
+        else:
+            F = self.F[:n0]
         return self.pf_ratio * col_normalize(P) \
             + (1 - self.pf_ratio) * col_normalize(F)
 

@@ -1,0 +1,151 @@
+"""Landmark (low-rank) correspondence: LowRankF layout + solver + wiring.
+
+VERDICT round-2 missing item 1 / SURVEY §7 hard part 6: the dense prime-dual
+solver caps F estimation at ~25-30k cells per chip; the landmark path bounds
+it at O(N L + L^2) and these tests pin its semantics at CPU-testable sizes.
+"""
+
+import numpy as np
+import pytest
+
+from jamie_tpu.ops.lowrank import LowRankF
+from jamie_tpu.solvers.landmark import landmark_correspondence
+
+
+def _paired(n=120, f0=20, f1=14, seed=0):
+    rng = np.random.RandomState(seed)
+    z = rng.randn(n, 6).astype(np.float32)
+    x = (z @ rng.randn(6, f0) + 0.05 * rng.randn(n, f0)).astype(np.float32)
+    y = (z @ rng.randn(6, f1) + 0.05 * rng.randn(n, f1)).astype(np.float32)
+    return x, y
+
+
+def test_lowrank_gather_matches_dense():
+    rng = np.random.RandomState(1)
+    u = rng.rand(30, 5).astype(np.float32)
+    v = rng.rand(24, 5).astype(np.float32)
+    lr = LowRankF(u, v)
+    dense = u @ v.T
+    idx0 = np.array([0, 7, 29, 3])
+    idx1 = np.array([1, 23, 5])
+    np.testing.assert_allclose(np.asarray(lr.gather_batch(idx0, idx1)),
+                               dense[np.ix_(idx0, idx1)], rtol=1e-6)
+    assert lr.shape == (30, 24)
+    np.testing.assert_allclose(lr.to_dense(), dense, rtol=1e-6)
+
+
+def test_lowrank_col_normalized_and_topk():
+    rng = np.random.RandomState(2)
+    u = rng.rand(40, 6).astype(np.float32)
+    v = rng.rand(33, 6).astype(np.float32)
+    lr = LowRankF(u, v)
+    dense = u @ v.T
+    # column normalization in factored form
+    cn = lr.col_normalized().to_dense()
+    np.testing.assert_allclose(cn.sum(0), 1.0, rtol=1e-5)
+    np.testing.assert_allclose(
+        cn, dense / dense.sum(0, keepdims=True), rtol=1e-5)
+    # top-k compression matches the dense row-wise top-k
+    sp = lr.top_k(4, block=16)
+    sp_dense = sp.to_dense()
+    for i in range(dense.shape[0]):
+        keep = np.argsort(-dense[i])[:4]
+        expect = np.zeros_like(dense[i])
+        expect[keep] = dense[i][keep]
+        np.testing.assert_allclose(sp_dense[i], expect, rtol=1e-5, atol=1e-7)
+
+
+def test_lowrank_refuses_huge_densify():
+    lr = LowRankF(np.ones((100, 2), np.float32), np.ones((50, 2), np.float32))
+    with pytest.raises(ValueError):
+        lr.to_dense(max_entries=1000)
+
+
+def test_landmark_correspondence_approximates_dense():
+    """The landmark F is structurally valid at any L, and converges to the
+    dense solver's F as the landmark set approaches the full dataset
+    (measured: pointwise corr 0.77 at L=0.8n, 0.89 at L=n; the absolute
+    near-diagonal mass matches the dense solver's own diffuse behavior at
+    this size). The downstream quality A/B lives in examples/landmark_ab.py."""
+    from jamie_tpu.ops.distances import pairwise_distance
+    from jamie_tpu.solvers.prime_dual import prime_dual
+
+    x, y = _paired(n=120)
+    lr = landmark_correspondence(x, y, n_landmarks=48, k_interp=4,
+                                 epoch_pd=300, verbose=False)
+    assert isinstance(lr, LowRankF)
+    assert lr.shape == (120, 120)
+    F48 = lr.to_dense()
+    assert (F48 >= 0).all() and np.isfinite(F48).all()
+    # rows touching their k_interp landmarks carry mass (interp is convex)
+    assert (F48.sum(1) > 0).mean() > 0.95
+
+    Kx = np.asarray(pairwise_distance(x))
+    Ky = np.asarray(pairwise_distance(y))
+    F_dense = np.asarray(prime_dual(Kx, Ky, dx=20, dy=14, epoch_pd=2000,
+                                    verbose=False))
+    lr96 = landmark_correspondence(x, y, n_landmarks=96, k_interp=4,
+                                   epoch_pd=2000, verbose=False)
+    c = np.corrcoef(F_dense.ravel(), lr96.to_dense().ravel())[0, 1]
+    assert c > 0.5, f'landmark F decorrelated from dense F: {c:.3f}'
+
+
+def test_trainer_lowrank_f_matches_dense_fit():
+    """A fit with F given as LowRankF matches the same fit with the
+    equivalent dense F (same batches, same losses)."""
+    from jamie_tpu.config import JamieConfig
+    from jamie_tpu.models import CoupledVAE
+    from jamie_tpu.train.trainer import JamieTrainer
+
+    rng = np.random.RandomState(3)
+    n = 60
+    z = rng.randn(n, 4).astype(np.float32)
+    x0 = (z @ rng.randn(4, 12)).astype(np.float32)
+    x1 = (z @ rng.randn(4, 9)).astype(np.float32)
+    u = rng.rand(n, 7).astype(np.float32)
+    v = rng.rand(n, 7).astype(np.float32)
+    P = np.eye(n, dtype=np.float32)
+    cfg = JamieConfig(epoch_DNN=12, min_epochs=3, batch_size=30,
+                      epoch_chunk=6, use_early_stop=False, pca_dim=None,
+                      log_DNN=1000)
+    model = CoupledVAE((12, 9), cfg.output_dim, dropout=0.0)
+
+    dense = JamieTrainer(cfg, model, [x0, x1], P, u @ v.T)
+    dense.fit()
+    lowrank = JamieTrainer(cfg, model, [x0, x1], P, LowRankF(u, v))
+    lowrank.fit()
+    np.testing.assert_allclose(lowrank.epoch_losses, dense.epoch_losses,
+                               rtol=1e-4, atol=1e-6)
+    # final_corr agrees (dense path densifies the factorization)
+    np.testing.assert_allclose(np.asarray(lowrank.final_corr()),
+                               np.asarray(dense.final_corr()),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_estimator_landmark_auto_path(monkeypatch):
+    """Past SENTINEL_ENTRIES with use_f_tilde=True the estimator engages the
+    landmark solver automatically: no dense N x N distance matrices, a
+    LowRankF match_result, and a finite fit (round-2 VERDICT missing #1:
+    this configuration previously could not run at all)."""
+    import jamie_tpu.estimator as est
+    from jamie_tpu import JAMIE
+
+    monkeypatch.setattr(est, 'SENTINEL_ENTRIES', 1000)  # 80*80 > 1000
+    x, y = _paired(n=80)
+    jm = JAMIE(epoch_DNN=20, min_epochs=5, batch_size=40, epoch_chunk=10,
+               pca_dim=None, use_early_stop=False, dropout=0.0,
+               log_DNN=1000, epoch_pd=200, corr_landmarks=32,
+               distance_mode='euclidean', log_pd=1000)
+    out = jm.fit_transform(dataset=[x, y])
+    assert isinstance(jm.match_result[0], LowRankF)
+    assert jm.dist is None  # dense distance matrices were never built
+    assert out[0].shape == (80, 32) and np.isfinite(out[0]).all()
+    # explicit corr_landmarks also works below the sentinel threshold
+    monkeypatch.setattr(est, 'SENTINEL_ENTRIES', 10 ** 9)
+    jm2 = JAMIE(epoch_DNN=10, min_epochs=2, batch_size=40, epoch_chunk=5,
+                pca_dim=None, use_early_stop=False, dropout=0.0,
+                log_DNN=1000, epoch_pd=100, corr_landmarks=24,
+                distance_mode='euclidean', log_pd=1000)
+    jm2.fit_transform(dataset=[x, y])
+    assert isinstance(jm2.match_result[0], LowRankF)
+    assert jm2.match_result[0].rank == 24
