@@ -7,7 +7,8 @@ the train loop alone hid solver/distance/preprocessing wins): wall-clock of
 a FULL fit_transform at the scGLUE shape (9190 x 28930 / 241757 — the
 reference's largest committed benchmark, 52,557 s CPU,
 time-and-memory.ipynb cell 33). Set JAMIE_BENCH_PIPELINE=0 to skip it
-(the pipeline leg costs ~8-10 min on one chip, synth included).
+(the pipeline leg costs the fit wall-clock on one chip; the synthetic
+dataset is generated once and disk-cached under ~/.cache/jamie_tpu_bench).
 
 Baseline (BASELINE.md): the reference PyTorch-CPU training phase sustains
 ~6-17k cell-samples/s (batch 512 x batches/epoch over epoch time) on its
@@ -115,12 +116,25 @@ def main():
     print(json.dumps(record))
 
 
+SYNTH_CACHE = os.path.expanduser('~/.cache/jamie_tpu_bench')
+
+
 def synth_scglue(seed=0, latent=32):
     """scGLUE-shaped synthetic pair (9190 x 28930 / 241757). The wide ATAC
     modality is rank-`latent` with no per-element noise — the phase costs
     (distance Gram, PCA sketch, solver, train loop) depend on shape, not
     spectrum tails, and drawing 2.2e9 extra normals costs minutes of host
-    time the metric shouldn't include."""
+    time the metric shouldn't include.
+
+    Cached on disk after the first call (~10 GB under ~/.cache): the
+    single-core host generates at <25 MFLOP/s, so regeneration would cost
+    ~7 min per bench run; memmap loads are effectively free and every
+    consumer treats the arrays as read-only."""
+    cached = [os.path.join(SYNTH_CACHE, f'scglue_{seed}_{i}.npy')
+              for i in range(2)]
+    if all(os.path.exists(p) for p in cached):
+        return [np.load(p, mmap_mode='r') for p in cached]
+
     rng = np.random.default_rng(seed)
     n = 9190
     z = rng.standard_normal((n, latent), dtype=np.float32)
@@ -136,7 +150,15 @@ def synth_scglue(seed=0, latent=32):
                                                          dtype=np.float32)
         return out
 
-    return [one(28930, True), one(241757, False)]
+    data = [one(28930, True), one(241757, False)]
+    try:
+        os.makedirs(SYNTH_CACHE, exist_ok=True)
+        for p, d in zip(cached, data):
+            np.save(p + '.tmp.npy', d)
+            os.replace(p + '.tmp.npy', p)
+    except OSError:
+        pass  # no disk room: run uncached
+    return data
 
 
 def scglue_pipeline():

@@ -49,12 +49,18 @@ def load_scmnc_motor(normalize=None):
     assert (e_rows == sample_names).all()
     data1 = gdata.T.astype(np.float64)                  # cells x genes
     # The rda ships RAW counts (ints to 165k); the notebook's (stripped)
-    # geneExp_filtered.csv was normalized. Log-CPM recovers the standard
-    # patch-seq preprocessing: measured FOSCTTM 0.0000 / LTA 0.868 vs
-    # 0.0004 / 0.849 on raw counts (seed 0).
+    # geneExp_filtered.csv was normalized. The round-3 provenance sweep
+    # (examples/scmnc_motor_sweep.py; RESULTS.md table) covered 11 standard
+    # transforms: every one lands at LTA 0.853-0.873 (4-seed winners
+    # 0.869-0.870 +- 0.006) vs the notebook's single-seed 0.8957, while
+    # FOSCTTM beats the reference 100x — the residual is attributed to the
+    # stripped CSV's unknown transform, not a recoverable choice. Shipped
+    # default: scanpy-style median-depth normalize_total + log1p, the best
+    # mean (tied with sqrt-CPM-1e4) and the most plausible provenance.
     if normalize is None:
         normalize = lambda x: np.log1p(
-            x / np.maximum(x.sum(1, keepdims=True), 1) * 1e4)
+            x / np.maximum(x.sum(1, keepdims=True), 1.0)
+            * np.median(x.sum(1)))
     data1 = normalize(data1)
     data2 = np.stack([np.asarray(edata[k], np.float64)
                       for k in efeat_names], axis=1)
