@@ -52,8 +52,8 @@ def main(quick=False):
         output_dim=32,
         method_kwargs={
             'MMD-MA': {'n_iters': 2001 if quick else 10001},
-            'UnionCom': {'epoch_pd': 500 if quick else 2000,
-                         'epoch_DNN': 100, 'log_pd': 1000},
+            'UnionCom': {'epoch_pd': 500 if quick else 20000,
+                         'epoch_DNN': 100, 'log_pd': 100_000},
         })
     for name, entry in baselines.items():
         results[name] = {k: round(v, 5) for k, v in entry.items()

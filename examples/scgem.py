@@ -29,13 +29,14 @@ KWARGS = dict(
 
 
 def load_scgem():
+    from jamie_tpu.io import load_matrix
     if not os.path.exists(DATA + 'GeneExpression.txt'):
         print('scGEM data not found at', DATA)
         sys.exit(0)
-    data1 = np.loadtxt(DATA + 'GeneExpression.txt')
-    data2 = np.loadtxt(DATA + 'DNAmethylation.txt')
-    type1 = np.loadtxt(DATA + 'type1.txt').astype(int)
-    type2 = np.loadtxt(DATA + 'type2.txt').astype(int)
+    data1 = load_matrix(DATA + 'GeneExpression.txt', dtype=np.float64)
+    data2 = load_matrix(DATA + 'DNAmethylation.txt', dtype=np.float64)
+    type1 = load_matrix(DATA + 'type1.txt', dtype=np.float64).astype(int)
+    type2 = load_matrix(DATA + 'type2.txt', dtype=np.float64).astype(int)
     from sklearn import preprocessing
     data1 = preprocessing.scale(data1, axis=0)
     data2 = preprocessing.scale(data2, axis=0)

@@ -73,9 +73,10 @@ class JamieConfig:
     # Landmark (Nystrom) correspondence: run the exact prime-dual solver on
     # an L x L landmark subproblem and extend with kNN-Gaussian weights,
     # returning F as a LowRankF factorization (solvers/landmark.py). None =
-    # auto: engages past SENTINEL_ENTRIES where the dense O(N0*N1) solver
-    # state cannot exist (the reference never ran there, SURVEY §6/7); an
-    # int forces the landmark path with that L at any size (A/B testing).
+    # auto: engages past estimator.LANDMARK_AUTO_ENTRIES (~16k x 16k),
+    # where the dense O(N0*N1) solver state cannot fit one chip (the
+    # reference never ran there, SURVEY §6/7); an int forces the landmark
+    # path with that L at any size (A/B testing).
     corr_landmarks: Optional[int] = None
     corr_landmark_k: int = 8          # interpolation kNN fan-in
 
@@ -83,6 +84,12 @@ class JamieConfig:
     distance_mode: str = 'geodesic'   # UnionCom-inherited default
     kmax: int = 40                    # geodesic kNN cap
     perplexity: float = 30.0          # legacy tsne path
+    # Legacy tsne projection schedule (project_mode='tsne'; the UnionCom
+    # baseline rides this path — solvers/tsne.py)
+    tsne_iters: int = 1000
+    tsne_align_weight: float = 10.0
+    tsne_lr: float = 0.5
+    tsne_exaggeration: float = 12.0
 
     # --- Misc ---
     manual_seed: int = 666

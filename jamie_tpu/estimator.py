@@ -40,6 +40,14 @@ from .train.trainer import JamieTrainer
 # synthesizes batch subsets on the fly.
 SENTINEL_ENTRIES = 50_000_000
 
+# Landmark auto-engage threshold: the dense prime-dual solver holds five
+# (N0, N1) f32 state arrays, so ~250M entries (~16k x 16k) is where one
+# chip's 16 GB HBM runs out (measured max ~16.6k cells, RESULTS.md round
+# 3). Below it dense stays the default (exact semantics); above it the
+# landmark low-rank path engages automatically. corr_landmarks forces the
+# landmark path at any size.
+LANDMARK_AUTO_ENTRIES = 250_000_000
+
 
 def _unwrap_anndata(dataset):
     """AnnData unwrap (jamie/jamie.py:147-149); anndata is an optional dep."""
@@ -112,11 +120,11 @@ class JAMIE:
         # Landmark correspondence path: the dense N x N distance matrices
         # exist only to feed the dense solver; the landmark solver builds
         # its own L x L matrices, so skip them entirely (auto past
-        # SENTINEL_ENTRIES where they could not exist anyway).
+        # LANDMARK_AUTO_ENTRIES where the dense solver state cannot fit).
         self._use_landmarks = (
             cfg.use_f_tilde and self.match_result is None
             and (cfg.corr_landmarks is not None
-                 or self.row[0] * self.row[1] > SENTINEL_ENTRIES))
+                 or self.row[0] * self.row[1] > LANDMARK_AUTO_ENTRIES))
         self.compute_distances(save_dist=(
             cfg.project_mode in ['tsne']
             or (self.match_result is None and cfg.use_f_tilde
@@ -177,7 +185,9 @@ class JAMIE:
                     self.col[i] = 50
             integrated_data = project_tsne(
                 self.dataset, P_joint, self.pairs_x[0], self.pairs_y[0],
-                output_dim=cfg.output_dim)
+                output_dim=cfg.output_dim, n_iters=cfg.tsne_iters,
+                align_weight=cfg.tsne_align_weight, lr=cfg.tsne_lr,
+                exaggeration=cfg.tsne_exaggeration)
             time.log('Mapping')
             print('-' * 33)
             print('JAMIE Done!')

@@ -123,14 +123,14 @@ def test_trainer_lowrank_f_matches_dense_fit():
 
 
 def test_estimator_landmark_auto_path(monkeypatch):
-    """Past SENTINEL_ENTRIES with use_f_tilde=True the estimator engages the
-    landmark solver automatically: no dense N x N distance matrices, a
-    LowRankF match_result, and a finite fit (round-2 VERDICT missing #1:
-    this configuration previously could not run at all)."""
+    """Past LANDMARK_AUTO_ENTRIES with use_f_tilde=True the estimator
+    engages the landmark solver automatically: no dense N x N distance
+    matrices, a LowRankF match_result, and a finite fit (round-2 VERDICT
+    missing #1: this configuration previously could not run at all)."""
     import jamie_tpu.estimator as est
     from jamie_tpu import JAMIE
 
-    monkeypatch.setattr(est, 'SENTINEL_ENTRIES', 1000)  # 80*80 > 1000
+    monkeypatch.setattr(est, 'LANDMARK_AUTO_ENTRIES', 1000)  # 80*80 > 1000
     x, y = _paired(n=80)
     jm = JAMIE(epoch_DNN=20, min_epochs=5, batch_size=40, epoch_chunk=10,
                pca_dim=None, use_early_stop=False, dropout=0.0,
@@ -140,8 +140,8 @@ def test_estimator_landmark_auto_path(monkeypatch):
     assert isinstance(jm.match_result[0], LowRankF)
     assert jm.dist is None  # dense distance matrices were never built
     assert out[0].shape == (80, 32) and np.isfinite(out[0]).all()
-    # explicit corr_landmarks also works below the sentinel threshold
-    monkeypatch.setattr(est, 'SENTINEL_ENTRIES', 10 ** 9)
+    # explicit corr_landmarks also works below the auto threshold
+    monkeypatch.setattr(est, 'LANDMARK_AUTO_ENTRIES', 10 ** 9)
     jm2 = JAMIE(epoch_DNN=10, min_epochs=2, batch_size=40, epoch_chunk=5,
                 pca_dim=None, use_early_stop=False, dropout=0.0,
                 log_DNN=1000, epoch_pd=100, corr_landmarks=24,
