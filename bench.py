@@ -25,6 +25,7 @@ preprocessing, excluding compilation (warmup chunk discarded).
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -110,9 +111,15 @@ def main():
         'unit': 'cell-samples/s',
         'vs_baseline': round(cells_per_sec / BASELINE_CELLS_PER_SEC, 2),
     }
+    # Progress note on stderr so a pipeline-leg crash doesn't lose the
+    # train metric from the log; stdout stays the single JSON line.
+    print(json.dumps(record), file=sys.stderr, flush=True)
     if os.environ.get('JAMIE_BENCH_PIPELINE', '1') != '0':
         del trainer, state, model, transformed, pres, data
-        record['extra'] = scglue_pipeline()
+        try:
+            record['extra'] = scglue_pipeline()
+        except Exception as e:   # emit the train metric regardless
+            record['extra'] = {'scglue_pipeline_error': repr(e)[:200]}
     print(json.dumps(record))
 
 

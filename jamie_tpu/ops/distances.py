@@ -163,11 +163,23 @@ def _tri_gram_assemble(acc, sq, n_real: int, squared: bool):
     return d * (1.0 - jnp.eye(n_real, dtype=d.dtype))
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _insert_chunk(resident, xb, start):
+    """In-place (donated) column-slice write of an uploaded chunk into the
+    preallocated resident matrix — avoids the +100% transient HBM peak a
+    final jnp.concatenate of all chunks would cost (at scGLUE scale that
+    second 4.4 GB copy, stacked on both modalities' arrays, crashed the
+    worker)."""
+    return jax.lax.dynamic_update_slice(resident, xb, (0, start))
+
+
 def _pairwise_euclidean_overlapped_bf16(x: np.ndarray, squared: bool,
                                         chunk_bytes: int = 192 << 20):
     """Self-distances for a huge matrix: overlapped bf16 feature-chunk
     upload + triangular block Gram; installs the assembled resident bf16
     matrix for the PCA phase. Returns the (n, n) device distance matrix."""
+    import ml_dtypes
+
     from ..core.residency import host_bf16, install_residency
 
     n, f = x.shape
@@ -178,18 +190,14 @@ def _pairwise_euclidean_overlapped_bf16(x: np.ndarray, squared: bool,
     fc = max(int(chunk_bytes / (n_pad * 2)), 1024)
     acc = jnp.zeros((len(_TRI_PAIRS), nb, nb), jnp.float32)
     sq = jnp.zeros((n_pad,), jnp.float32)
-    chunks = []
+    resident = jnp.zeros((n, f), ml_dtypes.bfloat16)
     for s in range(0, f, fc):
-        xb_host = host_bf16(x[:, s:s + fc])
-        xb = jnp.asarray(xb_host)  # async H2D; matmuls of chunk k-1 overlap
-        chunks.append(xb)
+        xb = jnp.asarray(host_bf16(x[:, s:s + fc]))  # async H2D, overlapped
+        resident = _insert_chunk(resident, xb, jnp.asarray(s, jnp.int32))
         acc, sq = _tri_gram_accum(acc, sq, xb, nb)
     d = _tri_gram_assemble(acc, sq, n, squared)
-    # Stitch the whole resident matrix from the already-uploaded (unpadded)
-    # chunks and share it with the PCA phase: the 2-byte/element transfer
-    # still happens exactly once per fit.
-    resident = jnp.concatenate(chunks, axis=1)
-    del chunks
+    # Shared with the PCA phase: the 2-byte/element transfer happened
+    # exactly once per fit.
     install_residency(x, jax.block_until_ready(resident))
     return d
 

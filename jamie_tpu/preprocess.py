@@ -274,9 +274,9 @@ class NonlinearEmbedding:
     neighbors in embedding space — so modal_predict works under a
     nonlinear preclass.
 
-    'umap' uses the umap-learn package when importable; otherwise it warns
-    and embeds with the device t-SNE (nearest available nonlinear
-    manifold embedding — this image does not bundle umap)."""
+    'umap' runs the device UMAP (solvers/umap.py) — kNN graph, fuzzy
+    simplicial set, and SGD layout all jitted — rather than importing
+    umap-learn, whose Numba kernels would run on host."""
 
     K_NEIGHBORS = 10
 
@@ -290,18 +290,9 @@ class NonlinearEmbedding:
         X = np.asarray(X, np.float32)
         method = self.method
         if method == 'umap':
-            try:
-                import umap
-            except ImportError:
-                warnings.warn(
-                    "model_pca='umap' requires the umap-learn package, "
-                    'which is not installed; embedding with device t-SNE '
-                    'instead.')
-                method = 'tsne'
-            else:
-                emb = umap.UMAP(n_components=self.n_components) \
-                    .fit_transform(X)
-        if method == 'tsne':
+            from .solvers.umap import umap_embed
+            emb = umap_embed(X, self.n_components)
+        elif method == 'tsne':
             from .solvers.tsne import tsne_embed
             perplexity = float(min(30.0, max(2.0, (X.shape[0] - 1) / 3)))
             emb = tsne_embed(X, self.n_components, perplexity=perplexity)

@@ -229,8 +229,17 @@ def prime_dual(
 
     i = 0
     log_every = max(int(log_pd), 1)
+    # Cap the WORK per dispatched program, independent of log_pd: a single
+    # program that runs for minutes gets killed by remote-execution
+    # transports (the axon tunnel kills ~100 s programs with "TPU worker
+    # process crashed" — reproduced at N=9190 x 2000 iterations). ~3e15
+    # bf16 FLOPs ≈ 20-30 s on a v5e; large-N solves split into several
+    # programs with no readback between them (only log_every boundaries
+    # fetch), so the cap costs nothing when it does not trigger.
+    flops_per_iter = 8.0 * m_pad * n * max(m_pad, n)
+    max_chunk = max(int(3e15 / max(flops_per_iter, 1.0)), 1)
     while i < epoch_pd:
-        chunk = min(log_every, epoch_pd - i)
+        chunk = min(log_every, epoch_pd - i, max_chunk)
         carry = _run_chunk(carry, jnp.asarray(i, jnp.int32), Kx, Ky,
                            tr_kx_kx, chunk, float(rho), float(epsilon),
                            int(delay), precision, bool(use_pallas),

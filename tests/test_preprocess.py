@@ -162,11 +162,10 @@ def test_nonlinear_tsne_preclass():
     # serialization carries the embedding arrays
     pre2 = Preprocessor.from_dict(pre.to_dict())
     np.testing.assert_allclose(pre2.transform(X[:5]), t0, atol=1e-5)
-    # umap falls back to tsne with a warning (package not installed here)
-    with w.catch_warnings(record=True) as rec:
-        w.simplefilter('always')
-        Preprocessor.fit(X[:30], pca_dim=2, method='umap')
-    assert any('umap' in str(r.message) for r in rec)
+    # umap preclass runs the device implementation end-to-end
+    pre_u = Preprocessor.fit(X[:30], pca_dim=2, method='umap')
+    emb_u = pre_u.transform(X[:30])
+    assert emb_u.shape == (30, 2) and np.isfinite(emb_u).all()
 
 
 def test_pca_resident_bf16_matches_streamed():
