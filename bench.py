@@ -183,6 +183,10 @@ def scglue_pipeline():
         'scglue_pipeline_seconds': round(seconds, 1),
         'scglue_pipeline_vs_ref_cpu': round(SCGLUE_REF_SECONDS / seconds, 1),
         'epochs_run': jm.epochs_run,
+        # Per-phase split: Distance+Mapping are tunnel-transfer-bound and
+        # the axon pool's link/chip share swings ~4x hour to hour (measured
+        # 13-65 MB/s); the split shows which phases absorbed the noise.
+        'phases': getattr(jm, 'phase_timings', {}),
     }
 
 

@@ -23,7 +23,9 @@ preprocess) treat their inputs as read-only.
 
 from __future__ import annotations
 
+import warnings
 import weakref
+from functools import partial
 from typing import Optional
 
 import numpy as np
@@ -45,20 +47,54 @@ def host_bf16(arr: np.ndarray) -> np.ndarray:
     arr = np.ascontiguousarray(arr, dtype=np.float32)
     try:
         import torch
-        out = (torch.from_numpy(arr).to(torch.bfloat16)
-               .view(torch.uint16).numpy().view(ml_dtypes.bfloat16))
+        with warnings.catch_warnings():
+            # reading a non-writable (e.g. memmap-backed) array through
+            # torch is safe; from_numpy warns about writes we never do
+            warnings.simplefilter('ignore', UserWarning)
+            out = (torch.from_numpy(arr).to(torch.bfloat16)
+                   .view(torch.uint16).numpy().view(ml_dtypes.bfloat16))
         return out.reshape(arr.shape)
     except ImportError:
         return arr.astype(ml_dtypes.bfloat16)
+
+
+def _insert_rows(resident, xb, start):
+    import jax
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def _ins(resident, xb, start):
+        return jax.lax.dynamic_update_slice(resident, xb, (start, 0))
+    return _ins(resident, xb, start)
+
+
+def build_resident_bf16(arr: np.ndarray, chunk_bytes: int = 256 << 20):
+    """Upload a big host f32 matrix as one device-resident bf16 array.
+
+    Row-contiguous chunks: sequential reads (a column-strided pass over a
+    row-major memmap measured 79 MB/s vs GB/s sequential), torch-vectorized
+    host cast, async H2D dispatch, and a donated dynamic_update_slice into
+    the preallocated resident matrix — so the link transfer of chunk k
+    overlaps the read+cast of chunk k+1 and no jnp.concatenate transient
+    ever doubles the footprint (at scGLUE scale that second 4.4 GB copy,
+    stacked on both modalities' arrays, crashed the worker)."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    n, f = arr.shape
+    rows = max(int(chunk_bytes / max(f * 2, 1)), 64)
+    resident = jnp.zeros((n, f), ml_dtypes.bfloat16)
+    for s in range(0, n, rows):
+        xb = jnp.asarray(host_bf16(
+            np.ascontiguousarray(arr[s:s + rows], dtype=np.float32)))
+        resident = _insert_rows(resident, xb, jnp.asarray(s, jnp.int32))
+    return jax.block_until_ready(resident)
 
 
 def device_bf16(arr, budget_bytes: Optional[int] = None):
     """The whole matrix as a device-resident bf16 array, or None when it
     would not fit the budget. Cached per host array so the distance and
     PCA phases share one upload."""
-    import jax
-    import jax.numpy as jnp
-
     if budget_bytes is None:
         budget_bytes = DEFAULT_BUDGET_BYTES  # resolved per call: patchable
     if not isinstance(arr, np.ndarray):
@@ -80,16 +116,8 @@ def device_bf16(arr, budget_bytes: Optional[int] = None):
     except TypeError:
         return None
     # Cast to bf16 on the HOST so the link carries 2 bytes per element —
-    # the transfer, not the cast, is the bottleneck (see host_bf16). Row
-    # chunks bound the staging buffers.
-    n = arr.shape[0]
-    rows = max(int((1 << 29) / max(arr.shape[1] * 2, 1)), 64)
-    parts = [
-        jnp.asarray(host_bf16(arr[s:s + rows]))
-        for s in range(0, n, rows)
-    ]
-    dev = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
-    dev = jax.block_until_ready(dev)
+    # the transfer, not the cast, is the bottleneck (see host_bf16).
+    dev = build_resident_bf16(arr)
     _cache[key] = (ref, dev)
     return dev
 

@@ -106,10 +106,13 @@ class JAMIE:
         np.random.seed(cfg.manual_seed)
 
         self.dataset, self.dataset_annotation = _unwrap_anndata(dataset)
-        if not cfg.in_place:
-            self.dataset = [np.array(d) for d in self.dataset]
-        else:
-            self.dataset = [np.asarray(d) for d in self.dataset]
+        # Documented deviation: the reference copies unless in_place to
+        # protect caller data from its in-place scaling (jamie/jamie.py:152)
+        # — this pipeline never writes into the input arrays (the residency
+        # layer's read-only contract), so both settings alias them. Copying
+        # would materialize memmap-backed atlases (scGLUE's 8.9 GB ATAC) on
+        # host for nothing.
+        self.dataset = [np.asarray(d) for d in self.dataset]
 
         self.dataset_num = len(self.dataset)
         assert self.dataset_num == 2, (
@@ -214,6 +217,10 @@ class JAMIE:
         print('-' * 33)
         print('JAMIE Done!')
         time.aggregate()
+        # Per-phase wall-clock for programmatic consumers (bench.py reports
+        # it so transfer-bound phases are attributable under tunnel noise)
+        self.phase_timings = {k: round(float(v), 3)
+                              for k, v in time.totals().items()}
         time.stop()
         print()
         return integrated_data

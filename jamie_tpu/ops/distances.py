@@ -101,105 +101,30 @@ def _pairwise_euclidean_feature_chunked(x, y, squared, self_dist,
     return d
 
 
-# Above this many elements the raw matrix streams through HBM in feature
-# chunks instead of residing there whole
-_FEATURE_CHUNK_THRESHOLD = 500_000_000
+# Above this many elements the matrix goes through the shared bf16
+# residency (one 2-byte/element upload reused by distances + PCA) instead
+# of per-phase f32 uploads; beyond the residency HBM budget it streams in
+# feature chunks. 100M (round 3, was 500M): the mid-size shapes this newly
+# covers (scGLUE RNA 266M, DM_rep4 150M) were paying two f32 passes over
+# the ~20-55 MB/s tunnel link; the bf16 rounding is quality-neutral on the
+# real datasets (examples/bf16_threshold_ab.py: scGEM LTA 0.879+-0.019
+# bf16 vs 0.859+-0.024 f32, scMNC-Motor 0.863+-0.004 vs 0.864+-0.007,
+# FOSCTTM unchanged, 3 full-config seeds forced through the bf16 path).
+_FEATURE_CHUNK_THRESHOLD = 100_000_000
 
 # --------------------------------------------------------------------------
-# Overlapped triangular Gram: the wide-modality (scGLUE-class) fast path
+# Wide-modality (scGLUE-class) fast path: resident bf16 build + one Gram
 # --------------------------------------------------------------------------
-# Round 2 paid upload + Gram SEQUENTIALLY: device_bf16 blocks until the whole
-# 4.4 GB bf16 matrix is resident, then one huge x @ x.T runs (288 s Distance
-# at 9190 x 241757 vs ~207 s full-Gram roofline). Two independent wins:
-#   1. OVERLAP: feature-chunked uploads with the partial Gram of chunk k
-#      computing while chunk k+1 casts/transfers on host (async dispatch) —
-#      hides most of the host->HBM transfer behind MXU time.
-#   2. TRIANGULAR: x @ x.T is symmetric; computing only the lower-triangle
-#      row blocks cuts matmul FLOPs to (B+1)/2B (56% at B=8 blocks) and the
-#      assembled matrix is mirrored.
-# The uploaded chunks are concatenated into the whole resident bf16 matrix
-# afterwards and installed in the residency cache for the PCA phase — the
-# transfer still happens exactly once per fit.
-
-_TRI_BLOCKS = 8
-_TRI_PAIRS = tuple((i, j) for i in range(_TRI_BLOCKS) for j in range(i + 1))
-_TRI_INDEX = {p: k for k, p in enumerate(_TRI_PAIRS)}
-
-
-@partial(jax.jit, static_argnames=('nb',), donate_argnums=(0, 1))
-def _tri_gram_accum(acc, sq, xb, nb: int):
-    """Accumulate one feature chunk into the triangular block Gram.
-
-    acc: (n_pairs, nb, nb) f32 lower-triangle blocks; sq: (n_pad,) f32
-    squared norms; xb: (n, fc) bf16 chunk, zero-padded here to nb*_TRI_BLOCKS
-    rows. One dispatch per chunk; XLA schedules the unrolled block matmuls
-    back-to-back on the MXU while the host casts/transfers the next chunk."""
-    n_pad = nb * _TRI_BLOCKS
-    if xb.shape[0] < n_pad:
-        xb = jnp.pad(xb, ((0, n_pad - xb.shape[0]), (0, 0)))
-    sq = sq + jnp.einsum('nf,nf->n', xb, xb,
-                         preferred_element_type=jnp.float32)
-    rows = [xb[i * nb:(i + 1) * nb] for i in range(_TRI_BLOCKS)]
-    parts = [jnp.matmul(rows[i], rows[j].T,
-                        preferred_element_type=jnp.float32)
-             for (i, j) in _TRI_PAIRS]
-    return acc + jnp.stack(parts), sq
-
-
-@partial(jax.jit, static_argnames=('n_real', 'squared'))
-def _tri_gram_assemble(acc, sq, n_real: int, squared: bool):
-    """Mirror the lower-triangle blocks into the full (self-)distance
-    matrix, slicing the row pad back off and zeroing the diagonal."""
-    block_rows = []
-    for i in range(_TRI_BLOCKS):
-        row = [acc[_TRI_INDEX[(i, j)]] if j <= i
-               else acc[_TRI_INDEX[(j, i)]].T
-               for j in range(_TRI_BLOCKS)]
-        block_rows.append(jnp.concatenate(row, axis=1))
-    g_full = jnp.concatenate(block_rows, axis=0)
-    d2 = jnp.maximum(sq[:, None] + sq[None, :] - 2.0 * g_full, 0.0)
-    d2 = d2[:n_real, :n_real]
-    d = d2 if squared else jnp.sqrt(d2)
-    return d * (1.0 - jnp.eye(n_real, dtype=d.dtype))
-
-
-@partial(jax.jit, donate_argnums=(0,))
-def _insert_chunk(resident, xb, start):
-    """In-place (donated) column-slice write of an uploaded chunk into the
-    preallocated resident matrix — avoids the +100% transient HBM peak a
-    final jnp.concatenate of all chunks would cost (at scGLUE scale that
-    second 4.4 GB copy, stacked on both modalities' arrays, crashed the
-    worker)."""
-    return jax.lax.dynamic_update_slice(resident, xb, (0, start))
-
-
-def _pairwise_euclidean_overlapped_bf16(x: np.ndarray, squared: bool,
-                                        chunk_bytes: int = 192 << 20):
-    """Self-distances for a huge matrix: overlapped bf16 feature-chunk
-    upload + triangular block Gram; installs the assembled resident bf16
-    matrix for the PCA phase. Returns the (n, n) device distance matrix."""
-    import ml_dtypes
-
-    from ..core.residency import host_bf16, install_residency
-
-    n, f = x.shape
-    # Row blocks sized to a multiple of 128 so every block matmul tiles the
-    # MXU cleanly; pad rows are zero and sliced off in assembly.
-    nb = -(-n // (_TRI_BLOCKS * 128)) * 128
-    n_pad = nb * _TRI_BLOCKS
-    fc = max(int(chunk_bytes / (n_pad * 2)), 1024)
-    acc = jnp.zeros((len(_TRI_PAIRS), nb, nb), jnp.float32)
-    sq = jnp.zeros((n_pad,), jnp.float32)
-    resident = jnp.zeros((n, f), ml_dtypes.bfloat16)
-    for s in range(0, f, fc):
-        xb = jnp.asarray(host_bf16(x[:, s:s + fc]))  # async H2D, overlapped
-        resident = _insert_chunk(resident, xb, jnp.asarray(s, jnp.int32))
-        acc, sq = _tri_gram_accum(acc, sq, xb, nb)
-    d = _tri_gram_assemble(acc, sq, n, squared)
-    # Shared with the PCA phase: the 2-byte/element transfer happened
-    # exactly once per fit.
-    install_residency(x, jax.block_until_ready(resident))
-    return d
+# At 9190 x 241757 the Gram itself is ~0.3 s of MXU (4e13 bf16 FLOPs); the
+# phase is entirely host-side I/O: reading the f32 source (memmap-backed in
+# the benches), casting to bf16, and pushing 2 bytes/element through the
+# ~20-55 MB/s tunnel link. So the fast path is simply residency.
+# build_resident_bf16 — row-contiguous sequential reads, torch-vectorized
+# cast, async uploads overlapping the next chunk's read — followed by a
+# single fused Gram from the resident matrix. (A round-3 interim version
+# feature-chunked the Gram to overlap compute with upload; with compute at
+# 0.1% of the phase that structure only forced column-strided source reads,
+# measured 79 MB/s vs GB/s sequential.)
 
 
 @partial(jax.jit, static_argnames=('squared', 'self_dist'))
@@ -255,19 +180,10 @@ def _pairwise_euclidean_impl(x, y=None, squared=False, block=4096, mesh=None):
     if (np.ndim(x) == 2
             and x.shape[0] * x.shape[1] > _FEATURE_CHUNK_THRESHOLD):
         if self_dist:
-            from ..core.residency import (DEFAULT_BUDGET_BYTES, device_bf16,
-                                          peek_residency)
-            xnp = np.asarray(x)
-            # Already resident (e.g. PCA ran first): one fused Gram.
-            xdev = peek_residency(xnp)
-            if xdev is not None:
-                return _euclidean_resident_bf16(xdev, squared, True)
-            if xnp.size * 2 <= DEFAULT_BUDGET_BYTES and isinstance(
-                    xnp, np.ndarray):
-                # Fresh build: overlapped chunk upload + triangular Gram
-                # (installs the residency for the PCA phase as it goes).
-                return _pairwise_euclidean_overlapped_bf16(xnp, squared)
-            xdev = device_bf16(xnp)
+            from ..core.residency import device_bf16
+            # One bf16 upload shared with the PCA phase (cached), then one
+            # fused Gram straight from HBM.
+            xdev = device_bf16(np.asarray(x))
             if xdev is not None:
                 return _euclidean_resident_bf16(xdev, squared, True)
         return _pairwise_euclidean_feature_chunked(

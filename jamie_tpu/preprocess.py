@@ -24,8 +24,12 @@ import jax.numpy as jnp
 import numpy as np
 
 
-# Above this many elements the data streams through HBM in feature chunks
-_STREAM_THRESHOLD = 500_000_000
+# Above this many elements (and f > n) PCA reads the shared bf16 residency
+# — one 2-byte/element upload reused with the distance phase — falling back
+# to f32 feature-chunk streaming past the HBM budget. 100M (round 3, was
+# 500M): quality-neutral per examples/bf16_threshold_ab.py; see
+# ops/distances._FEATURE_CHUNK_THRESHOLD for the A/B numbers.
+_STREAM_THRESHOLD = 100_000_000
 
 # Above this many cells, full eigh of the N x N Gram matrix is slower than a
 # randomized range finder (eigh is sequential-heavy on TPU; the randomized
@@ -229,8 +233,13 @@ class PCA:
     def fit(self, X):
         mean, comps, scores = _pca_fit(np.asarray(X, np.float32),
                                        self.n_components)
-        self.mean_ = np.asarray(mean)
-        self.components_ = np.asarray(comps)
+        # Device-resident: at wide-F shapes the components are ~0.5 GB
+        # (512 x 241757) and every transform/inverse consumes them on
+        # device anyway — fetching to host and re-uploading costs two
+        # passes over the ~10-55 MB/s tunnel link per fit. Host copies are
+        # made only on serialization (Preprocessor.to_dict).
+        self.mean_ = jnp.asarray(mean)
+        self.components_ = jnp.asarray(comps)
         self.scores_ = None if scores is None else np.asarray(scores)
         return self
 
@@ -417,8 +426,8 @@ class Preprocessor:
             d['nle_embedding'] = self.pca.embedding_
             d['nle_method'] = np.array(self.pca.method)
         elif self.pca is not None:
-            d['pca_mean'] = self.pca.mean_
-            d['pca_components'] = self.pca.components_
+            d['pca_mean'] = np.asarray(self.pca.mean_)
+            d['pca_components'] = np.asarray(self.pca.components_)
         return d
 
     @classmethod

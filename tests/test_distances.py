@@ -168,28 +168,29 @@ def test_residency_cache_evicts_on_gc():
     assert len(residency._cache) == 0
 
 
-def test_overlapped_triangular_gram_matches_exact(monkeypatch):
-    """The overlapped bf16 feature-chunk + triangular-block Gram path (the
-    scGLUE-class Distance fast path) matches the exact f32 build to
-    bf16-input tolerance, installs the residency for the PCA phase, and
-    handles row counts that don't tile the 8x128 blocks."""
+def test_resident_build_chunked_matches_exact(monkeypatch):
+    """The row-chunked donated resident build (the scGLUE-class Distance
+    fast path) produces distances matching the exact f32 build to
+    bf16-input tolerance, handles row counts that don't divide the chunk,
+    and leaves the residency installed for the PCA phase."""
     import jamie_tpu.ops.distances as dmod
     from jamie_tpu.core import residency
 
     rng = np.random.RandomState(8)
-    for n in (96, 130):  # both < and not-a-multiple-of the block grid
+    for n in (96, 130):
         X = rng.randn(n, 700).astype(np.float32)
         ref = np.asarray(pairwise_distance(X, 'euclidean'))
         residency.clear_residency_cache()
-        ours = np.asarray(dmod._pairwise_euclidean_overlapped_bf16(
-            X, squared=False, chunk_bytes=n * 100 * 2))  # ~7 chunks
+        # multi-chunk build (16 rows/chunk), installed as the dispatch would
+        dev = residency.build_resident_bf16(X, chunk_bytes=700 * 2 * 16)
+        residency.install_residency(X, dev)
+        # the huge-matrix dispatch picks the resident copy up via the cache
+        monkeypatch.setattr(dmod, '_FEATURE_CHUNK_THRESHOLD', 10_000)
+        ours = np.asarray(pairwise_distance(X, 'euclidean'))
         assert np.abs(ours - ref).max() / max(ref.max(), 1) < 0.01
         np.testing.assert_allclose(np.diag(ours), 0, atol=1e-4)
         np.testing.assert_allclose(ours, ours.T, atol=1e-4)
-        # the resident copy was installed from the uploaded chunks
-        dev = residency.peek_residency(X)
-        assert dev is not None and dev.shape == X.shape
-        assert str(dev.dtype) == 'bfloat16'
+        assert dev.shape == X.shape and str(dev.dtype) == 'bfloat16'
         np.testing.assert_allclose(np.asarray(dev, np.float32), X,
                                    rtol=1e-2, atol=1e-2)
         residency.clear_residency_cache()
