@@ -46,6 +46,55 @@ def _deseq_lognorm(x):
     return np.log1p(x / sf)
 
 
+def _tmm_lognorm(x, trim_m=0.3, trim_a=0.05):
+    """edgeR TMM (Robinson & Oshlack 2010): per-cell effective library
+    sizes from the doubly-trimmed, precision-weighted mean of M-values
+    against the reference cell (the one whose upper quartile is closest
+    to the mean upper quartile), then log-CPM(1e4) by effective depth."""
+    depth = _depth(x)
+    p = x / depth
+    uq = np.quantile(p, 0.75, axis=1)
+    ref_i = int(np.argmin(np.abs(uq - uq.mean())))
+    ref = p[ref_i]
+    factors = np.ones(x.shape[0])
+    for i in range(x.shape[0]):
+        both = (p[i] > 0) & (ref > 0)
+        if both.sum() < 50:
+            continue
+        pi, pr = p[i][both], ref[both]
+        m = np.log2(pi / pr)
+        a = 0.5 * np.log2(pi * pr)
+        # inverse asymptotic variance of M (edgeR's weights)
+        w = ((1 - pi) / (pi * depth[i, 0])
+             + (1 - pr) / (pr * depth[ref_i, 0]))
+        mlo, mhi = np.quantile(m, [trim_m, 1 - trim_m])
+        alo, ahi = np.quantile(a, [trim_a, 1 - trim_a])
+        keep = (m >= mlo) & (m <= mhi) & (a >= alo) & (a <= ahi)
+        if keep.sum() >= 10:
+            factors[i] = 2 ** (np.sum(m[keep] / w[keep])
+                               / np.sum(1.0 / w[keep]))
+    factors /= np.exp(np.mean(np.log(factors)))  # geometric mean 1
+    return np.log1p(x / (depth * factors[:, None]) * 1e4)
+
+
+def _uq_lognorm(x):
+    """Upper-quartile size factors (Bullard et al. 2010): 75th percentile
+    of each cell's nonzero counts, geometric-mean-centered, then log1p."""
+    uq = np.array([np.quantile(r[r > 0], 0.75) if (r > 0).any() else 1.0
+                   for r in x])
+    sf = uq / np.exp(np.mean(np.log(np.maximum(uq, 1e-9))))
+    return np.log1p(x / sf[:, None])
+
+
+def _quantile_lognorm(x):
+    """Full quantile normalization across cells (each cell's counts mapped
+    onto the mean sorted profile; limma/affy-style), then log1p."""
+    order = np.argsort(x, axis=1)
+    ranks = np.argsort(order, axis=1)
+    mean_sorted = np.sort(x, axis=1).mean(axis=0)
+    return np.log1p(mean_sorted[ranks])
+
+
 def _pearson_residuals(x, theta=100.0):
     """Analytic Pearson residuals (SCTransform-flavor, Lause et al. 2021)."""
     total = x.sum()
@@ -71,6 +120,10 @@ CANDIDATES = {
     # size-factor families
     'deseq_log': _deseq_lognorm,
     'pearson_resid': _pearson_residuals,
+    # round-3 second pass: the remaining standard bulk/SC normalizations
+    'tmm_log': _tmm_lognorm,
+    'uq_log': _uq_lognorm,
+    'quantile_log': _quantile_lognorm,
 }
 
 

@@ -12,6 +12,7 @@ Usage: python examples/time_and_memory.py [--configs mmd,scmnc_motor,...]
 import argparse
 import faulthandler
 import json
+import os
 import time
 
 import numpy as np
@@ -38,7 +39,23 @@ CONFIGS = {
 }
 
 
+SYNTH_CACHE = os.path.expanduser('~/.cache/jamie_tpu_bench')
+
+
 def synthesize(shape0, shape1, seed=0, latent=32):
+    """Spectrum-matched synthetic pair at the given shapes.
+
+    Disk-cached under ~/.cache/jamie_tpu_bench and memmap-loaded on
+    reruns: the single-core host generates normals at <25 MFLOP/s, so the
+    widest shapes (scGLUE/DM_rep4) cost minutes each per regeneration that
+    the harness shouldn't pay twice. Consumers treat the arrays as
+    read-only (fit_transform never mutates its inputs)."""
+    paths = [os.path.join(SYNTH_CACHE,
+                          f'tm_{s[0]}x{s[1]}_{seed}_{i}.npy')
+             for i, s in enumerate((shape0, shape1))]
+    if all(os.path.exists(p) for p in paths):
+        return [np.load(p, mmap_mode='r') for p in paths]
+
     rng = np.random.default_rng(seed)  # PCG64: ~4x faster than RandomState
     n = shape0[0]
     z = rng.standard_normal((n, latent), dtype=np.float32)
@@ -56,7 +73,15 @@ def synthesize(shape0, shape1, seed=0, latent=32):
                                                      dtype=np.float32)
         return out
 
-    return [one(shape0), one(shape1)]
+    data = [one(shape0), one(shape1)]
+    try:
+        os.makedirs(SYNTH_CACHE, exist_ok=True)
+        for p, d in zip(paths, data):
+            np.save(p + '.tmp.npy', d)
+            os.replace(p + '.tmp.npy', p)
+    except OSError:
+        pass  # no disk room: run uncached
+    return data
 
 
 def run_config(name, shape0, shape1, ref_total, epoch_dnn=10000,
@@ -69,7 +94,8 @@ def run_config(name, shape0, shape1, ref_total, epoch_dnn=10000,
                epoch_DNN=epoch_dnn, min_epochs=min_epochs,
                use_early_stop=True, log_DNN=100000,
                distance_mode='euclidean', epoch_chunk=500,
-               prng_impl='rbg')  # hw RNG: dropout bits were 31% of a step
+               prng_impl='rbg',  # hw RNG: dropout bits were 31% of a step
+               model_matmul_dtype='bfloat16')  # quality-neutral (RESULTS.md)
     t0 = time.perf_counter()
     jm.fit_transform(dataset=dataset)
     total = time.perf_counter() - t0
@@ -80,6 +106,10 @@ def run_config(name, shape0, shape1, ref_total, epoch_dnn=10000,
         'reference_cpu_seconds': ref_total,
         'speedup': round(ref_total / total, 1),
         'epochs_run': jm.epochs_run,
+        # Distance / Correspondence / Mapping split (the axon pool's
+        # link/chip share swings hour-to-hour; the split shows which
+        # phase absorbed the noise)
+        'phases': getattr(jm, 'phase_timings', {}),
     }
 
 
