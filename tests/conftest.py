@@ -19,6 +19,19 @@ import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
 
+# Persistent compilation cache for the test mesh. The suite is
+# compile-dominated on this 1-core host (29 min for 203 tests, ~95% of it
+# tracing+XLA): caching executables across runs cuts reruns to minutes.
+# core/cache.py deliberately refuses CPU sessions because a cache copied
+# across machines with different host ISAs can SIGILL — that concern is
+# cross-machine only; this dir is machine-local (~/.cache) and keyed by
+# the same 8-device topology every run. Opt out: JAMIE_TPU_NO_CACHE=1.
+if os.environ.get('JAMIE_TPU_NO_CACHE') != '1':
+    _cache_dir = os.path.expanduser('~/.cache/jamie_tpu_xla_cpu_tests')
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update('jax_compilation_cache_dir', _cache_dir)
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
