@@ -116,10 +116,26 @@ def main():
     print(json.dumps(record), file=sys.stderr, flush=True)
     if os.environ.get('JAMIE_BENCH_PIPELINE', '1') != '0':
         del trainer, state, model, transformed, pres, data
+        # Deadline watchdog: the axon pool can wedge indefinitely
+        # (device bring-up measured hanging >40 min during an outage);
+        # if the pipeline leg exceeds the budget, emit the train metric
+        # with an error note instead of hanging the whole bench run.
+        import threading
+
+        def _fire():
+            record['extra'] = {
+                'scglue_pipeline_error':
+                    'timeout after 4500s (axon pool unavailable?)'}
+            print(json.dumps(record), flush=True)
+            os._exit(0)
+        watchdog = threading.Timer(4500, _fire)
+        watchdog.daemon = True
+        watchdog.start()
         try:
             record['extra'] = scglue_pipeline()
         except Exception as e:   # emit the train metric regardless
             record['extra'] = {'scglue_pipeline_error': repr(e)[:200]}
+        watchdog.cancel()
     print(json.dumps(record))
 
 

@@ -91,3 +91,73 @@ def make_sampler(
         return sample
 
     raise ValueError(f'Sampling method {method} does not exist')
+
+
+def make_epoch_sampler(
+    method: str,
+    rows: Sequence[int],
+    batch_size: int,
+    len_dataloader: int,
+    corr_pairs: Optional[np.ndarray] = None,
+    true_ratio: float = 0.8,
+) -> Callable[[jax.Array], Tuple[jnp.ndarray, jnp.ndarray]]:
+    """All of an epoch's batch indices in ONE draw: sample_epoch(key, pairs)
+    -> (idx0, idx1), each (len_dataloader, batch_size).
+
+    Why: the per-step samplers above draw a fresh without-replacement batch
+    via `jax.random.permutation(key, N)` — a full N-element device sort
+    per STEP. At N~9k that sort dominates the train step (~2x the entire
+    fwd/bwd/Adam work measured at the BrainChromatin shape), and a 6k-epoch
+    fit runs ~10^5 of them. Here diag/zeros draw one permutation per EPOCH
+    and slice it into consecutive wrap-around windows — torch
+    DataLoader(shuffle=True) semantics: every batch is still
+    without-replacement, and the epoch is additionally jointly exhaustive
+    (each cell appears once per epoch, vs the reference's independent
+    per-batch draws, jamie/jamie.py:554-557 — deviation documented here
+    and quality-validated in RESULTS.md). hybrid keeps its exact per-step
+    distribution (it was always randint-based); it is simply drawn as one
+    (L, B) batch of randints.
+    """
+    rows = tuple(int(r) for r in rows)
+    L, B = int(len_dataloader), int(batch_size)
+
+    def _epoch_windows(key, n):
+        if B > n:   # with-replacement regime, as _draw
+            return jax.random.randint(key, (L, B), 0, n)
+        perm = jax.random.permutation(key, n)
+        pos = jnp.arange(L * B) % n   # B consecutive ints mod n are distinct
+        return jnp.take(perm, pos.reshape(L, B), axis=0)
+
+    if method == 'diag':
+        def sample_epoch(key, pairs=None):
+            idx = _epoch_windows(key, rows[0])
+            return idx, idx
+        return sample_epoch
+
+    if method == 'zeros':
+        def sample_epoch(key, pairs=None):
+            k0, k1 = jax.random.split(key)
+            return _epoch_windows(k0, rows[0]), _epoch_windows(k1, rows[1])
+        return sample_epoch
+
+    if method == 'hybrid':
+        assert corr_pairs is not None and len(corr_pairs) > 0, (
+            'hybrid sampling requires nonzero-P matched pairs')
+        default_pairs = np.asarray(corr_pairs, dtype=np.int32)
+        num_corr = default_pairs.shape[0]
+
+        def sample_epoch(key, pairs=None):
+            if pairs is None:
+                pairs = default_pairs
+            k_mask, k_pair, k0, k1 = jax.random.split(key, 4)
+            take_corr = jax.random.uniform(k_mask, (L, B)) < true_ratio
+            pair_idx = jax.random.randint(k_pair, (L, B), 0, num_corr)
+            r0 = jax.random.randint(k0, (L, B), 0, rows[0])
+            r1 = jax.random.randint(k1, (L, B), 0, rows[1])
+            pairs = jnp.asarray(pairs)
+            idx0 = jnp.where(take_corr, pairs[pair_idx, 0], r0)
+            idx1 = jnp.where(take_corr, pairs[pair_idx, 1], r1)
+            return idx0, idx1
+        return sample_epoch
+
+    raise ValueError(f'Sampling method {method} does not exist')

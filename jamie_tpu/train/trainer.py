@@ -40,7 +40,8 @@ from .losses import (
     kl_divergence, latent_consistency_loss, reconstruction_loss,
     row_normalize,
 )
-from .sampling import detect_sampling_method, make_sampler
+from .sampling import (detect_sampling_method, make_epoch_sampler,
+                       make_sampler)
 
 
 def _maybe_shard_rows(x, mesh):
@@ -239,6 +240,12 @@ class JamieTrainer:
         self.sampler = make_sampler(
             self.sampling_method, self.rows, self.batch_size,
             corr_pairs=corr_pairs, true_ratio=config.true_ratio)
+        # Per-epoch vectorized index generation (one permutation/epoch
+        # instead of a full N-element sort per step — see make_epoch_sampler)
+        self.epoch_sampler = make_epoch_sampler(
+            self.sampling_method, self.rows, self.batch_size,
+            self.len_dataloader, corr_pairs=corr_pairs,
+            true_ratio=config.true_ratio)
         self._pairs = (jnp.asarray(corr_pairs, jnp.int32)
                        if corr_pairs is not None
                        else jnp.zeros((1, 2), jnp.int32))
@@ -360,12 +367,12 @@ class JamieTrainer:
                 dummy if self.F is None else self.F,
                 self._pairs, mask, self._p_ell, self._f_ell, self._f_lr)
 
-    def _batch_loss_and_grads(self, params, batch_stats, key, epoch_idx, ops):
+    def _batch_loss_and_grads(self, params, batch_stats, key, epoch_idx, ops,
+                              idx0, idx1):
         from ..ops.sparse import sparse_gather_batch
         cfg = self.config
         data0, data1, P, F, pairs, mask, p_ell, f_ell, f_lr = ops
-        k_s, k_d, k_r = jax.random.split(key, 3)
-        idx0, idx1 = self.sampler(k_s, pairs)
+        k_d, k_r = jax.random.split(key)
         x0 = self._constrain(jnp.take(data0, idx0, axis=0))
         x1 = self._constrain(jnp.take(data1, idx1, axis=0))
         if self._p_identity:
@@ -416,14 +423,21 @@ class JamieTrainer:
         cfg = self.config
 
         def run(state):
-            new_rng, key_epoch = jax.random.split(state.rng)
+            new_rng, key_epoch, key_sample = jax.random.split(state.rng, 3)
             batch_keys = jax.random.split(key_epoch, self.len_dataloader)
+            # One vectorized draw for the whole epoch (diag/zeros: one
+            # permutation sliced into windows; hybrid: one (L, B) randint
+            # batch) — the per-step N-element sort was ~2x the fwd/bwd work
+            # at N~9k (RESULTS.md round 3)
+            idx0_all, idx1_all = self.epoch_sampler(key_sample, ops[4])
+            xs = (batch_keys, idx0_all, idx1_all)
 
             if cfg.batch_step:
-                def batch_body(carry, key):
+                def batch_body(carry, x):
+                    key, idx0, idx1 = x
                     params, bstats, opt = carry
                     loss, vec, bstats, grads = self._batch_loss_and_grads(
-                        params, bstats, key, epoch_idx, ops)
+                        params, bstats, key, epoch_idx, ops, idx0, idx1)
                     updates, opt = self.tx.update(grads, opt, params)
                     params = optax.apply_updates(params, updates)
                     return (params, bstats, opt), (loss, vec)
@@ -431,21 +445,22 @@ class JamieTrainer:
                 (params, bstats, opt), (batch_losses, vecs) = jax.lax.scan(
                     batch_body,
                     (state.params, state.batch_stats, state.opt_state),
-                    batch_keys)
+                    xs)
             else:
                 zero_grads = jax.tree.map(jnp.zeros_like, state.params)
 
-                def batch_body(carry, key):
+                def batch_body(carry, x):
+                    key, idx0, idx1 = x
                     params, bstats, acc = carry
                     loss, vec, bstats, grads = self._batch_loss_and_grads(
-                        params, bstats, key, epoch_idx, ops)
+                        params, bstats, key, epoch_idx, ops, idx0, idx1)
                     acc = jax.tree.map(jnp.add, acc, grads)
                     return (params, bstats, acc), (loss, vec)
 
                 (params, bstats, acc), (batch_losses, vecs) = jax.lax.scan(
                     batch_body,
                     (state.params, state.batch_stats, zero_grads),
-                    batch_keys)
+                    xs)
                 updates, opt = self.tx.update(acc, state.opt_state, params)
                 params = optax.apply_updates(params, updates)
 
