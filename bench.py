@@ -122,7 +122,18 @@ def main():
         # with an error note instead of hanging the whole bench run.
         import threading
 
+        # The lock+flag keeps the "ONE JSON line" contract when the timer
+        # fires just as the pipeline returns: whoever takes `settled` first
+        # owns the output (Timer.cancel() cannot stop a _fire already
+        # running).
+        lock = threading.Lock()
+        settled = []
+
         def _fire():
+            with lock:
+                if settled:
+                    return
+                settled.append('timer')
             record['extra'] = {
                 'scglue_pipeline_error':
                     'timeout after 4500s (axon pool unavailable?)'}
@@ -132,56 +143,27 @@ def main():
         watchdog.daemon = True
         watchdog.start()
         try:
-            record['extra'] = scglue_pipeline()
+            extra = scglue_pipeline()
         except Exception as e:   # emit the train metric regardless
-            record['extra'] = {'scglue_pipeline_error': repr(e)[:200]}
+            extra = {'scglue_pipeline_error': repr(e)[:200]}
+        with lock:
+            if not settled:
+                settled.append('main')
+                record['extra'] = extra
         watchdog.cancel()
     print(json.dumps(record))
 
 
-SYNTH_CACHE = os.path.expanduser('~/.cache/jamie_tpu_bench')
-
-
-def synth_scglue(seed=0, latent=32):
-    """scGLUE-shaped synthetic pair (9190 x 28930 / 241757). The wide ATAC
-    modality is rank-`latent` with no per-element noise — the phase costs
-    (distance Gram, PCA sketch, solver, train loop) depend on shape, not
-    spectrum tails, and drawing 2.2e9 extra normals costs minutes of host
-    time the metric shouldn't include.
-
-    Cached on disk after the first call (~10 GB under ~/.cache): the
-    single-core host generates at <25 MFLOP/s, so regeneration would cost
-    ~7 min per bench run; memmap loads are effectively free and every
-    consumer treats the arrays as read-only."""
-    cached = [os.path.join(SYNTH_CACHE, f'scglue_{seed}_{i}.npy')
-              for i in range(2)]
-    if all(os.path.exists(p) for p in cached):
-        return [np.load(p, mmap_mode='r') for p in cached]
-
-    rng = np.random.default_rng(seed)
-    n = 9190
-    z = rng.standard_normal((n, latent), dtype=np.float32)
-
-    def one(f, noise):
-        out = np.empty((n, f), np.float32)
-        for s in range(0, f, 16384):
-            e = min(s + 16384, f)
-            w = rng.standard_normal((latent, e - s), dtype=np.float32)
-            out[:, s:e] = z @ w
-            if noise:
-                out[:, s:e] += 0.3 * rng.standard_normal((n, e - s),
-                                                         dtype=np.float32)
-        return out
-
-    data = [one(28930, True), one(241757, False)]
-    try:
-        os.makedirs(SYNTH_CACHE, exist_ok=True)
-        for p, d in zip(cached, data):
-            np.save(p + '.tmp.npy', d)
-            os.replace(p + '.tmp.npy', p)
-    except OSError:
-        pass  # no disk room: run uncached
-    return data
+def synth_scglue(seed=0):
+    """scGLUE-shaped synthetic pair (9190 x 28930 / 241757), generated and
+    disk-cached by the SAME examples/synth.py generator time_and_memory.py
+    uses — identical inputs make the two harnesses' scGLUE rows directly
+    comparable (any difference is the axon pool's link/chip share, not data
+    provenance), and the ~10 GB cache is stored once instead of twice."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), 'examples'))
+    from synth import synthesize
+    return synthesize((9190, 28930), (9190, 241757), seed=seed)
 
 
 def scglue_pipeline():

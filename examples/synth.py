@@ -1,0 +1,58 @@
+"""Shared spectrum-matched synthetic data generator for the benchmark
+harnesses (bench.py's pipeline leg and examples/time_and_memory.py).
+
+One generator, one disk cache: both harnesses previously re-implemented
+the rank-`latent` chunked generation with different cache filenames, so
+the identical scGLUE-shaped arrays were generated and stored twice
+(~20 GB instead of ~10). Identical inputs also make the two harnesses'
+scGLUE rows directly comparable — differences are the axon pool's
+link/chip share, not data provenance.
+"""
+
+import os
+
+import numpy as np
+
+SYNTH_CACHE = os.path.expanduser('~/.cache/jamie_tpu_bench')
+
+
+def synthesize(shape0, shape1, seed=0, latent=32):
+    """Spectrum-matched synthetic pair at the given shapes.
+
+    Disk-cached under ~/.cache/jamie_tpu_bench and memmap-loaded on
+    reruns: the single-core host generates normals at <25 MFLOP/s, so the
+    widest shapes (scGLUE/DM_rep4) cost minutes each per regeneration that
+    the harness shouldn't pay twice. Consumers treat the arrays as
+    read-only (fit_transform never mutates its inputs)."""
+    paths = [os.path.join(SYNTH_CACHE,
+                          f'tm_{s[0]}x{s[1]}_{seed}_{i}.npy')
+             for i, s in enumerate((shape0, shape1))]
+    if all(os.path.exists(p) for p in paths):
+        return [np.load(p, mmap_mode='r') for p in paths]
+
+    rng = np.random.default_rng(seed)  # PCG64: ~4x faster than RandomState
+    n = shape0[0]
+    z = rng.standard_normal((n, latent), dtype=np.float32)
+
+    def one(shape):
+        # feature-chunked so the noise generation for 242k-dim modalities
+        # stays memory- and time-bounded
+        out = np.empty((n, shape[1]), np.float32)
+        chunk = 16384
+        for s in range(0, shape[1], chunk):
+            e = min(s + chunk, shape[1])
+            w = rng.standard_normal((latent, e - s), dtype=np.float32)
+            out[:, s:e] = z @ w
+            out[:, s:e] += 0.3 * rng.standard_normal((n, e - s),
+                                                     dtype=np.float32)
+        return out
+
+    data = [one(shape0), one(shape1)]
+    try:
+        os.makedirs(SYNTH_CACHE, exist_ok=True)
+        for p, d in zip(paths, data):
+            np.save(p + '.tmp.npy', d)
+            os.replace(p + '.tmp.npy', p)
+    except OSError:
+        pass  # no disk room: run uncached
+    return data

@@ -39,49 +39,13 @@ CONFIGS = {
 }
 
 
-SYNTH_CACHE = os.path.expanduser('~/.cache/jamie_tpu_bench')
-
-
-def synthesize(shape0, shape1, seed=0, latent=32):
-    """Spectrum-matched synthetic pair at the given shapes.
-
-    Disk-cached under ~/.cache/jamie_tpu_bench and memmap-loaded on
-    reruns: the single-core host generates normals at <25 MFLOP/s, so the
-    widest shapes (scGLUE/DM_rep4) cost minutes each per regeneration that
-    the harness shouldn't pay twice. Consumers treat the arrays as
-    read-only (fit_transform never mutates its inputs)."""
-    paths = [os.path.join(SYNTH_CACHE,
-                          f'tm_{s[0]}x{s[1]}_{seed}_{i}.npy')
-             for i, s in enumerate((shape0, shape1))]
-    if all(os.path.exists(p) for p in paths):
-        return [np.load(p, mmap_mode='r') for p in paths]
-
-    rng = np.random.default_rng(seed)  # PCG64: ~4x faster than RandomState
-    n = shape0[0]
-    z = rng.standard_normal((n, latent), dtype=np.float32)
-
-    def one(shape):
-        # feature-chunked so the noise generation for 242k-dim modalities
-        # stays memory- and time-bounded
-        out = np.empty((n, shape[1]), np.float32)
-        chunk = 16384
-        for s in range(0, shape[1], chunk):
-            e = min(s + chunk, shape[1])
-            w = rng.standard_normal((latent, e - s), dtype=np.float32)
-            out[:, s:e] = z @ w
-            out[:, s:e] += 0.3 * rng.standard_normal((n, e - s),
-                                                     dtype=np.float32)
-        return out
-
-    data = [one(shape0), one(shape1)]
-    try:
-        os.makedirs(SYNTH_CACHE, exist_ok=True)
-        for p, d in zip(paths, data):
-            np.save(p + '.tmp.npy', d)
-            os.replace(p + '.tmp.npy', p)
-    except OSError:
-        pass  # no disk room: run uncached
-    return data
+# Shared generator/cache with bench.py's pipeline leg
+try:
+    from synth import SYNTH_CACHE, synthesize
+except ImportError:   # imported as a module rather than run as a script
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from synth import SYNTH_CACHE, synthesize
 
 
 def run_config(name, shape0, shape1, ref_total, epoch_dnn=10000,

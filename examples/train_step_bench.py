@@ -74,7 +74,15 @@ def main():
                       log_DNN=100_000, use_early_stop=False,
                       epoch_chunk=200, prng_impl='rbg')
 
-    run_variant('base', None, transformed, cfg_kwargs)
+    # 'base' must build the per-tensor chain EXPLICITLY: the trainer's
+    # default is now the flattened optimizer (the winner of this very A/B),
+    # so tx_factory=None would measure flat-vs-flat.
+    run_variant(
+        'base',
+        lambda cfg: optax.chain(
+            optax.clip_by_global_norm(1.0),
+            optax.adam(cfg.model_lr, b1=0.9, b2=0.999, eps=1e-8)),
+        transformed, cfg_kwargs)
     run_variant(
         'flat',
         lambda cfg: optax.flatten(optax.chain(

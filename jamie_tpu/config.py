@@ -204,6 +204,12 @@ def config_from_kwargs(**kwargs: Any) -> JamieConfig:
     # Reference alias: `lr` was the UnionCom name forwarded for the DNN phase
     if 'lr' in kwargs and 'model_lr' not in kwargs:
         known['model_lr'] = kwargs['lr']
+    elif 'lr' in kwargs and kwargs['lr'] != kwargs['model_lr']:
+        import warnings
+        warnings.warn(
+            f"Both lr={kwargs['lr']} and model_lr={kwargs['model_lr']} "
+            'given; lr is the reference alias for model_lr and is ignored '
+            'when both are present.', UserWarning, stacklevel=3)
     unknown = sorted(k for k in kwargs
                      if k not in field_names and k != 'lr'
                      and k not in _INERT_REFERENCE_KWARGS)

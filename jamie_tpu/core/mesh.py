@@ -12,6 +12,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -49,16 +50,41 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def axis_size(mesh: Optional[Mesh], axis: str) -> int:
+    if mesh is None or axis not in mesh.shape:
+        return 1
+    return int(mesh.shape[axis])
+
+
+def pad_rows_to_axis(x, n_dev: int):
+    """Zero-pad the leading dim to a multiple of `n_dev`, returning
+    (padded, pad). The canonical pad for every row-sharded placement:
+    GSPMD sharding constraints silently REPLICATE on non-divisible dims
+    (measured on jax 0.9 — no internal padding), so uneven N must be
+    padded explicitly or per-chip memory scales as N, not N/devices.
+    Accepts numpy or jax arrays and pads in kind."""
+    if n_dev <= 1:
+        return x, 0
+    pad = (-x.shape[0]) % n_dev
+    if pad:
+        is_np = isinstance(x, np.ndarray)
+        zeros = np.zeros if is_np else jnp.zeros
+        cat = np.concatenate if is_np else jnp.concatenate
+        x = cat([x, zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
+    return x, pad
+
+
 def shard_rows(mesh: Mesh, x, axis: str = 'data'):
-    """Place an array with its rows sharded over `axis`, padding not required
-    (XLA handles uneven shards for jnp ops; for pallas paths pad upstream)."""
+    """Place an array with its rows sharded over `axis`, zero-padding the
+    leading dim to the axis size first (see pad_rows_to_axis). The result
+    may be longer than the input; consumers gather by true-N index or
+    slice the pad back off."""
+    x, _ = pad_rows_to_axis(x, axis_size(mesh, axis))
     return jax.device_put(x, data_sharding(mesh, np.ndim(x), axis))
 
 
 def model_axis_size(mesh: Optional[Mesh], axis: str = 'model') -> int:
-    if mesh is None or axis not in mesh.shape:
-        return 1
-    return int(mesh.shape[axis])
+    return axis_size(mesh, axis)
 
 
 def param_spec(shape: Tuple[int, ...], n_model: int,

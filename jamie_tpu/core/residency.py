@@ -58,13 +58,22 @@ def host_bf16(arr: np.ndarray) -> np.ndarray:
         return arr.astype(ml_dtypes.bfloat16)
 
 
-def _insert_rows(resident, xb, start):
-    import jax
+_insert_rows_jit = None
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def _ins(resident, xb, start):
-        return jax.lax.dynamic_update_slice(resident, xb, (start, 0))
-    return _ins(resident, xb, start)
+
+def _insert_rows(resident, xb, start):
+    # One module-cached jitted executable (a fresh closure per call would
+    # miss the jit cache and re-trace on every row chunk of the build);
+    # created lazily so importing this module never imports jax.
+    global _insert_rows_jit
+    if _insert_rows_jit is None:
+        import jax
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def _ins(resident, xb, start):
+            return jax.lax.dynamic_update_slice(resident, xb, (start, 0))
+        _insert_rows_jit = _ins
+    return _insert_rows_jit(resident, xb, start)
 
 
 def build_resident_bf16(arr: np.ndarray, chunk_bytes: int = 256 << 20):
@@ -120,26 +129,6 @@ def device_bf16(arr, budget_bytes: Optional[int] = None):
     dev = build_resident_bf16(arr)
     _cache[key] = (ref, dev)
     return dev
-
-
-def peek_residency(arr):
-    """The cached device copy for `arr`, or None — never uploads."""
-    hit = _cache.get(id(arr))
-    if hit is not None and hit[0]() is arr:
-        return hit[1]
-    return None
-
-
-def install_residency(arr, dev) -> None:
-    """Register a device bf16 copy built elsewhere (e.g. assembled from the
-    overlapped distance build's feature chunks) so later device_bf16(arr)
-    callers — the PCA phase — reuse it instead of re-uploading."""
-    key = id(arr)
-    try:
-        ref = weakref.ref(arr, lambda _r, _key=key: _cache.pop(_key, None))
-    except TypeError:
-        return
-    _cache[key] = (ref, dev)
 
 
 def clear_residency_cache() -> None:

@@ -149,16 +149,11 @@ def _rows_sharding(mesh):
 
 
 def _pad_rows_for(mesh, x):
-    """Zero-pad the leading dim to a multiple of the 'data' axis size.
-    GSPMD constraints silently REPLICATE on non-divisible dims (measured on
-    jax 0.9 — no internal padding), so uneven N must be padded explicitly
-    for the row-sharded builds to actually split memory."""
-    n_dev = int(mesh.shape.get('data', 1))
-    pad = (-x.shape[0]) % n_dev if n_dev > 1 else 0
-    if pad:
-        x = jnp.concatenate(
-            [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
-    return x, pad
+    """Zero-pad the leading dim to a multiple of the 'data' axis size so
+    the row-sharded builds actually split memory (core.mesh.pad_rows_to_axis
+    has the GSPMD rationale)."""
+    from ..core.mesh import axis_size, pad_rows_to_axis
+    return pad_rows_to_axis(x, axis_size(mesh, 'data'))
 
 
 @partial(jax.jit, static_argnames=('squared', 'rows'))

@@ -175,9 +175,10 @@ def prime_dual(
         from jax.sharding import NamedSharding, PartitionSpec as P
         rows_sharding = NamedSharding(mesh, P('data', None))
         n_dev = int(mesh.shape.get('data', 1))
-        # Explicit zero-padding of the sharded (row) dim: GSPMD replicates
-        # silently on non-divisible dims (no internal padding on jax 0.9),
-        # and the pad rows are masked out of F every iteration in step().
+        # Explicit zero-padding of the sharded (row) dim (same GSPMD
+        # rationale as core.mesh.pad_rows_to_axis; here the pad happens
+        # INSIDE the jitted prep and on both dims of the square Kx), and
+        # the pad rows are masked out of F every iteration in step().
         m_pad = -(-m // n_dev) * n_dev
 
     # One jitted prep: normalization, padding, trace, and all carry zeros —
@@ -239,7 +240,11 @@ def prime_dual(
     flops_per_iter = 8.0 * m_pad * n * max(m_pad, n)
     max_chunk = max(int(3e15 / max(flops_per_iter, 1.0)), 1)
     while i < epoch_pd:
-        chunk = min(log_every, epoch_pd - i, max_chunk)
+        # Align chunks to log_every boundaries: a bare min(log_every,
+        # max_chunk) advance would step i past every multiple of log_every
+        # whenever max_chunk < log_every (large N), silently killing the
+        # reference-parity progress output below.
+        chunk = min(log_every - i % log_every, epoch_pd - i, max_chunk)
         carry = _run_chunk(carry, jnp.asarray(i, jnp.int32), Kx, Ky,
                            tr_kx_kx, chunk, float(rho), float(epsilon),
                            int(delay), precision, bool(use_pallas),

@@ -110,11 +110,15 @@ def make_epoch_sampler(
     fwd/bwd/Adam work measured at the BrainChromatin shape), and a 6k-epoch
     fit runs ~10^5 of them. Here diag/zeros draw one permutation per EPOCH
     and slice it into consecutive wrap-around windows — torch
-    DataLoader(shuffle=True) semantics: every batch is still
-    without-replacement, and the epoch is additionally jointly exhaustive
-    (each cell appears once per epoch, vs the reference's independent
-    per-batch draws, jamie/jamie.py:554-557 — deviation documented here
-    and quality-validated in RESULTS.md). hybrid keeps its exact per-step
+    DataLoader(shuffle=True, drop_last=True) semantics: every batch is
+    still without-replacement, and no cell repeats within an epoch until
+    the permutation wraps. With the trainer's L = floor(max(rows)/B) the
+    larger modality's windows never wrap, so its tail `n mod B` cells sit
+    out that epoch (a different random subset each epoch — exactly torch's
+    drop_last behavior); a smaller modality under 'zeros' wraps and reuses
+    its head. The reference instead draws each batch independently
+    (jamie/jamie.py:554-557) — deviation documented here and
+    quality-validated in RESULTS.md. hybrid keeps its exact per-step
     distribution (it was always randint-based); it is simply drawn as one
     (L, B) batch of randints.
     """

@@ -35,6 +35,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 from ..config import JamieConfig
 from ..core.dtypes import resolve_dtype
+from ..core.mesh import axis_size, shard_rows
 from .losses import (
     LOSS_NAMES, col_normalize, f_reconstruction_loss, kl_anneal,
     kl_divergence, latent_consistency_loss, reconstruction_loss,
@@ -46,24 +47,17 @@ from .sampling import (detect_sampling_method, make_epoch_sampler,
 
 def _maybe_shard_rows(x, mesh):
     """Row-shard a concrete array over the 'data' axis, zero-padding the
-    leading dim up to a multiple of the axis size first.
-
-    Padding is mandatory, not cosmetic: device_put rejects uneven shards and
-    GSPMD sharding constraints silently REPLICATE on non-divisible dims
-    (measured on jax 0.9), so without it an odd-N atlas fit would hold a
-    full copy of data/P/F on every chip. Consumers gather by row index
-    (< true N) or slice the pad back off, so the zero rows are inert."""
-    n_dev = int(mesh.shape.get('data', 1)) if 'data' in mesh.shape else 1
-    if n_dev <= 1:
-        return x
-    pad = (-x.shape[0]) % n_dev
-    if pad:
-        filler = ((np.zeros if isinstance(x, np.ndarray) else jnp.zeros)
-                  ((pad,) + x.shape[1:], x.dtype))
-        cat = np.concatenate if isinstance(x, np.ndarray) else jnp.concatenate
-        x = cat([x, filler], axis=0)
-    spec = PartitionSpec('data', *([None] * (x.ndim - 1)))
-    return jax.device_put(x, NamedSharding(mesh, spec))
+    leading dim up to a multiple of the axis size first (core.mesh.
+    pad_rows_to_axis explains why the pad is mandatory). Consumers gather
+    by row index (< true N) or slice the pad back off, so the zero rows
+    are inert."""
+    if axis_size(mesh, 'data') <= 1:
+        # Still move host arrays to device: returning numpy here would make
+        # every jitted chunk call re-transfer the full array (a pure-TP
+        # mesh with data axis 1 hit this; the mesh=None path already uses
+        # jnp.asarray).
+        return jnp.asarray(x)
+    return shard_rows(mesh, x)
 
 
 @flax.struct.dataclass

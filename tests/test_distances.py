@@ -181,16 +181,18 @@ def test_resident_build_chunked_matches_exact(monkeypatch):
         X = rng.randn(n, 700).astype(np.float32)
         ref = np.asarray(pairwise_distance(X, 'euclidean'))
         residency.clear_residency_cache()
-        # multi-chunk build (16 rows/chunk), installed as the dispatch would
+        # multi-chunk donated build (16 rows/chunk) is bf16-faithful
         dev = residency.build_resident_bf16(X, chunk_bytes=700 * 2 * 16)
-        residency.install_residency(X, dev)
-        # the huge-matrix dispatch picks the resident copy up via the cache
+        assert dev.shape == X.shape and str(dev.dtype) == 'bfloat16'
+        np.testing.assert_allclose(np.asarray(dev, np.float32), X,
+                                   rtol=1e-2, atol=1e-2)
+        # the huge-matrix dispatch builds + caches its own residency
         monkeypatch.setattr(dmod, '_FEATURE_CHUNK_THRESHOLD', 10_000)
         ours = np.asarray(pairwise_distance(X, 'euclidean'))
         assert np.abs(ours - ref).max() / max(ref.max(), 1) < 0.01
         np.testing.assert_allclose(np.diag(ours), 0, atol=1e-4)
         np.testing.assert_allclose(ours, ours.T, atol=1e-4)
-        assert dev.shape == X.shape and str(dev.dtype) == 'bfloat16'
-        np.testing.assert_allclose(np.asarray(dev, np.float32), X,
-                                   rtol=1e-2, atol=1e-2)
+        # ...and it stays installed for the PCA phase: repeat lookups hit
+        first = residency.device_bf16(X)
+        assert first is residency.device_bf16(X)
         residency.clear_residency_cache()

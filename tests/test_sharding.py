@@ -365,3 +365,21 @@ def test_tensor_parallel_production_threshold():
                                rtol=5e-3, atol=5e-4)
     np.testing.assert_allclose(tp.final_embed(s_tp)[0],
                                plain.final_embed(s_plain)[0], atol=5e-2)
+
+
+def test_pure_tp_mesh_keeps_data_on_device():
+    """A mesh whose 'data' axis is 1 (pure TP) must still move datasets to
+    device: host numpy passed through would be re-transferred on every
+    jitted chunk call (minutes per fit on the tunneled backend)."""
+    import jax
+
+    from jamie_tpu.core.mesh import create_mesh
+    from jamie_tpu.train.trainer import _maybe_shard_rows
+
+    mesh = create_mesh(shape=(1, 8), axis_names=('data', 'model'))
+    out = _maybe_shard_rows(np.ones((10, 4), np.float32), mesh)
+    assert isinstance(out, jax.Array)
+    # and the row-sharding path still pads + splits when the axis is real
+    mesh = create_mesh(shape=(8, 1), axis_names=('data', 'model'))
+    out = _maybe_shard_rows(np.ones((10, 4), np.float32), mesh)
+    assert isinstance(out, jax.Array) and out.shape[0] == 16

@@ -141,6 +141,20 @@ def test_config_unknown_kwarg_warns():
     assert cfg.model_lr == 5e-4
     assert not rec
 
+    # Conflicting lr + model_lr: model_lr wins and the dropped alias warns
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter('always')
+        cfg = config_from_kwargs(lr=1e-2, model_lr=1e-4)
+    assert cfg.model_lr == 1e-4
+    assert any('lr' in str(r.message) and 'ignored' in str(r.message)
+               for r in rec)
+
+    # Equal values are not a conflict
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter('always')
+        cfg = config_from_kwargs(lr=1e-4, model_lr=1e-4)
+    assert cfg.model_lr == 1e-4 and not rec
+
 
 def test_knn_dist_graph_properties():
     from jamie_tpu.nn_funcs import knn_dist
