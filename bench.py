@@ -52,10 +52,30 @@ def make_snare_like(n=1047, d_rna=3000, d_atac=5000, seed=0):
 
 
 def main():
+    import threading
+
     from jamie_tpu.config import JamieConfig
     from jamie_tpu.models import CoupledVAE
     from jamie_tpu.preprocess import Preprocessor
     from jamie_tpu.train.trainer import JamieTrainer
+
+    # Bring-up deadline: during an axon pool outage, backend setup hangs
+    # indefinitely (>40 min observed) BEFORE any of the timed work — emit an
+    # error record instead of hanging the whole bench run. Cancelled the
+    # moment the first device op completes.
+    def _bringup_fire():
+        print(json.dumps({
+            'metric': 'snare_seq_train_cells_per_sec_per_chip',
+            'value': 0.0, 'unit': 'cell-samples/s', 'vs_baseline': 0.0,
+            'extra': {'error': 'device bring-up exceeded 1800s '
+                               '(axon pool unavailable?)'}}), flush=True)
+        os._exit(0)
+    bringup = threading.Timer(1800, _bringup_fire)
+    bringup.daemon = True
+    bringup.start()
+    import jax
+    jax.block_until_ready(jax.numpy.ones(4) + 1)
+    bringup.cancel()
 
     data, labels = make_snare_like()
     n = data[0].shape[0]
