@@ -31,14 +31,12 @@ def _binary_knn(X, k: int = 5) -> np.ndarray:
     correspondence coupling reproduces the reference NLMA numbers
     exactly (scGEM: FOSCTTM 0.00005 / LTA 0.8757 vs the committed
     0.000048 / 0.875706, scGEM.ipynb cell 25)."""
+    from .nn_funcs import _symmetric_knn_adjacency
     from .ops.distances import pairwise_sq_euclidean
     d = np.array(pairwise_sq_euclidean(np.asarray(X, np.float32)))
     np.fill_diagonal(d, np.inf)
     idx = np.argpartition(d, k, axis=1)[:, :k]
-    W = np.zeros_like(d)
-    rows = np.repeat(np.arange(len(d)), k)
-    W[rows, idx.ravel()] = 1.0
-    return np.maximum(W, W.T)
+    return _symmetric_knn_adjacency(np.ones_like(d), idx)
 
 
 def _laplacian_pieces(dataset, P, coupling, k):

@@ -204,9 +204,12 @@ class JAMIE:
             if i == j:
                 mat = None
             elif i > j:
-                mat = match_matrix[j][i]
-                if not isinstance(mat, str):  # sentinels are symmetric
-                    mat = mat.T
+                # The lower-triangle slots mirror the reference's structure
+                # (jamie.py:196-212) but no consumer reads them —
+                # project_jamie uses W[0][1] only — so don't schedule the
+                # ~324 MB device transpose (or an O(nnz) SparseRows
+                # re-bucket) for a slot that is never touched.
+                mat = None
             else:
                 mat = self.match_result[k]
                 k += 1
@@ -312,6 +315,13 @@ class JAMIE:
                     self.P = 'identity'
                 else:
                     self.P = np.eye(self.row[0], dtype=np.float32)
+            elif self.row[0] * self.row[1] > SENTINEL_ENTRIES:
+                # Unaligned atlas pair: dense all-zeros P at 120k x 100k is
+                # ~45 GB host + HBM for nothing. A zero-nnz SparseRows flows
+                # through the sparse path and selects the 'zeros' sampling
+                # regime, which is what an all-zeros prior means.
+                self.P = SparseRows.from_coo(
+                    [], [], [], (self.row[0], self.row[1]))
             else:
                 self.P = np.zeros((self.row[0], self.row[1]), np.float32)
         if not (isinstance(self.P, str) or is_sparse_input(self.P)):
@@ -484,6 +494,11 @@ class JAMIE:
             'output_dim': self.model.output_dim,
             'dropout': self.model.dropout,
             'num_modalities': self.dataset_num,
+            # Numerics flags: without them a reload serves f32 matmuls for
+            # a model fitted (and validated) with bf16 ones
+            'matmul_bf16': bool(getattr(self.model, 'matmul_bf16', False)),
+            'compute_bf16': (getattr(self.model, 'compute_dtype', None)
+                             == jnp.bfloat16),
         }
         save_checkpoint(f, self.params, self.batch_stats,
                         self.preprocessors, header)
@@ -498,5 +513,8 @@ class JAMIE:
         self.model = CoupledVAE(
             input_dim=tuple(header['input_dim']),
             output_dim=int(header['output_dim']),
-            dropout=header['dropout'])
+            dropout=header['dropout'],
+            compute_dtype=(jnp.bfloat16 if header.get('compute_bf16')
+                           else jnp.float32),
+            matmul_bf16=bool(header.get('matmul_bf16', False)))
         return self

@@ -231,7 +231,8 @@ def _occlusion_pass(function, perf_function, data, true, background,
 
 
 def occlusion_impact_device(estimator, in_data, true, modality: int = 0,
-                            batch_features: int = 32, idx=None):
+                            batch_features: int = 32, idx=None,
+                            space: str = 'input'):
     """Device-vmapped occlusion importance for imputation.
 
     The reference's `evaluate_impact` re-runs the model once per feature on
@@ -240,14 +241,29 @@ def occlusion_impact_device(estimator, in_data, true, modality: int = 0,
     axis — the batch-of-perturbations formulation that actually uses the
     TPU. Returns (baseline_r, per-feature impact = baseline - occluded_r,
     testing_idx). `true` is the opposite-modality ground truth.
+
+    space='input' (default) occludes RAW input features — the reference's
+    semantics, so testing_idx aligns with gene/peak names. With a PCA
+    preclass the occluded activations are computed exactly by linearity
+    (replacing raw column j with its mean shifts the standardized scores by
+    (b_j - X[:, j]) / sigma outer the j-th component row) — no per-feature
+    re-projection of the input matrix. A nonlinear preclass (tsne/umap) has
+    no such shortcut: use the reference-parity `evaluate_impact`, or
+    space='latent'.
+    space='latent' occludes columns of the PREPROCESSED matrix (PCA
+    components when pca_dim is set) — useful for probing the latent space
+    but NOT feature importances; do not feed its indices into gene-named
+    plots.
     """
     from .models.coupled_vae import CoupledVAE
+    from .preprocess import NonlinearEmbedding
 
+    assert space in ('input', 'latent')
     to_mod = (modality + 1) % 2
     pre_in = estimator.preprocessors[modality]
     pre_out = estimator.preprocessors[to_mod]
-    x = jnp.asarray(pre_in.transform(np.asarray(in_data)), jnp.float32)
-    background = jnp.mean(x, axis=0)
+    raw = np.asarray(in_data, np.float32)
+    x = jnp.asarray(pre_in.transform(raw), jnp.float32)
     true_t = jnp.asarray(pre_out.transform(np.asarray(true)), jnp.float32)
     variables = estimator._variables()
     model = estimator.model
@@ -265,14 +281,41 @@ def occlusion_impact_device(estimator, in_data, true, modality: int = 0,
 
     baseline = float(mean_r(impute(x)))
 
-    testing_idx = np.asarray(idx if idx is not None
-                             else np.arange(x.shape[1]))
+    if space == 'latent' or pre_in.pca is None:
+        # No-PCA preclass is per-feature standardization, so occluding the
+        # transformed column IS occluding the raw feature.
+        if space == 'input' and pre_in.pca is None:
+            tb = jnp.asarray(
+                pre_in.transform(raw.mean(axis=0, keepdims=True))[0],
+                jnp.float32)
+        else:
+            tb = jnp.mean(x, axis=0)
+        n_feat = x.shape[1]
+
+        def one(fid):
+            xo = x.at[:, fid].set(tb[fid])
+            return mean_r(impute(xo))
+    elif isinstance(pre_in.pca, NonlinearEmbedding):
+        raise ValueError(
+            "space='input' needs a linear (PCA) preclass; this estimator "
+            "used model_pca='tsne'/'umap'. Use evaluate_impact (host, "
+            "exact) or space='latent'.")
+    else:
+        comps_t = jnp.asarray(pre_in.pca.components_).T   # (F, dim)
+        sigma = jnp.maximum(jnp.float32(pre_in.sample_std), 1e-12)
+        raw_dev = jnp.asarray(raw)
+        b = jnp.mean(raw_dev, axis=0)
+        n_feat = raw.shape[1]
+
+        def one(fid):
+            delta = (b[fid] - raw_dev[:, fid]) / sigma
+            xo = x + delta[:, None] * comps_t[fid][None, :]
+            return mean_r(impute(xo))
+
+    testing_idx = np.asarray(idx if idx is not None else np.arange(n_feat))
 
     @jax.jit
     def occluded_batch(feat_ids):
-        def one(fid):
-            xo = x.at[:, fid].set(background[fid])
-            return mean_r(impute(xo))
         return jax.vmap(one)(feat_ids)
 
     impacts = []

@@ -45,12 +45,20 @@ def load_matrix(path: str, transpose: bool = False, mmap: bool = False,
         out = mmread(path).toarray()
     else:
         raise ValueError(f'unsupported matrix format: {ext}')
-    out = np.asarray(out)
     if transpose:
         out = out.T
-    if not mmap:
-        out = out.astype(dtype, copy=False)
-    return out
+    if mmap and isinstance(out, np.memmap):
+        # Casting would materialize the whole matrix in RAM, defeating the
+        # point of mmap — return the stored dtype and say so rather than
+        # silently ignoring the requested one.
+        if dtype is not None and out.dtype != np.dtype(dtype):
+            import warnings
+            warnings.warn(
+                f'load_matrix(mmap=True): returning stored dtype '
+                f'{out.dtype} (casting to {np.dtype(dtype)} would load the '
+                'matrix into RAM); pass dtype=None to silence.', UserWarning)
+        return out
+    return np.asarray(out).astype(dtype, copy=False)
 
 
 def load_labels(path: str, column: Optional[str] = None) -> np.ndarray:

@@ -33,7 +33,14 @@ def kl_anneal(epoch, min_epochs: int, epoch_dnn: int):
 
 
 def kl_divergence(mus: Sequence[jnp.ndarray], logvars: Sequence[jnp.ndarray]):
-    """Sum over modalities of mean-reduced KL(q||N(0,1)) (jamie.py:619-628)."""
+    """Sum over modalities of mean-reduced KL(q||N(0,1)) (jamie.py:619-628).
+
+    Documented deviation: the reference's `refactor` returns a single
+    `logvar` (the LAST modality's, jamie/model.py:225-243), so its KL at
+    jamie.py:619-628 pairs every modality's mu with rows of modality-1's
+    logvar — an upstream indexing bug. We compute the per-modality KL as
+    intended; loss_history['KL'] therefore cannot match reference runs
+    term-for-term."""
     total = 0.0
     for mu, logvar in zip(mus, logvars):
         total += jnp.mean(

@@ -215,7 +215,11 @@ class JamieTrainer:
                 corr_pairs = sp.pairs()
         elif self._p_diag_mask is not None:
             mask = self._p_diag_mask
-            if (mask > 0).all():
+            # 'diag' only for the exact identity prior, matching the dense
+            # (P == eye exactly) and sparse (diagonal AND unit row sums)
+            # forms — a uniformly-weighted 0.5 mask must pick 'hybrid' like
+            # its dense np.diag(0.5s) equivalent, not fully-matched batches.
+            if (mask == 1).all():
                 self.sampling_method = 'diag'
                 corr_pairs = None
             elif (mask > 0).any():
@@ -704,13 +708,20 @@ class JamieTrainer:
     # early-stop bookkeeping — round-trips through orbax, so a preempted
     # atlas-scale run continues exactly where it stopped.
     def save_fit_state(self, path: str, state: TrainState) -> None:
+        import os
+
         import orbax.checkpoint as ocp
+        # orbax rejects relative paths — a relative checkpoint_dir would
+        # crash the fit at the first periodic snapshot
         with ocp.StandardCheckpointer() as ckpt:
-            ckpt.save(path, jax.tree.map(np.asarray, state), force=True)
+            ckpt.save(os.path.abspath(path), jax.tree.map(np.asarray, state),
+                      force=True)
 
     def restore_fit_state(self, path: str) -> TrainState:
+        import os
+
         import orbax.checkpoint as ocp
         template = jax.tree.map(np.asarray, self.init_state())
         with ocp.StandardCheckpointer() as ckpt:
-            restored = ckpt.restore(path, template)
+            restored = ckpt.restore(os.path.abspath(path), template)
         return jax.tree.map(jnp.asarray, restored)

@@ -119,3 +119,26 @@ def test_diag_mask_through_estimator():
     out = jm.fit_transform(dataset=data)
     assert jm.sampling_method == 'hybrid'
     assert np.isfinite(out[0]).all()
+
+
+def test_unaligned_atlas_P_never_densifies(monkeypatch):
+    """Unequal-row datasets above the sentinel threshold must get a
+    zero-nnz SparseRows P (the 'zeros' regime), not a dense rows0 x rows1
+    zero matrix (~45 GB at 120k x 100k)."""
+    import jamie_tpu.estimator as est_mod
+    from jamie_tpu import JAMIE
+    from jamie_tpu.ops.sparse import SparseRows
+
+    monkeypatch.setattr(est_mod, 'SENTINEL_ENTRIES', 100)
+    rng = np.random.RandomState(1)
+    z0 = rng.randn(24, 4).astype(np.float32)
+    z1 = rng.randn(18, 4).astype(np.float32)
+    x0 = (z0 @ rng.randn(4, 10)).astype(np.float32)
+    x1 = (z1 @ rng.randn(4, 8)).astype(np.float32)
+    jm = JAMIE(epoch_DNN=10, min_epochs=5, epoch_chunk=5, batch_size=16,
+               pca_dim=None, use_early_stop=False, dropout=0.0,
+               log_DNN=1000, epoch_pd=50, log_pd=1000)
+    out = jm.fit_transform(dataset=[x0, x1])
+    assert isinstance(jm.P, SparseRows) and jm.P.shape == (24, 18)
+    assert jm.trainer.sampling_method == 'zeros'
+    assert out[0].shape == (24, jm.config.output_dim)

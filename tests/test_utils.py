@@ -192,3 +192,25 @@ def test_knn_sim_bipartite():
     # every kept entry contains each row's single best partner
     best = corr.argmax(axis=1)
     assert all(out[r, best[r]] > 0 for r in range(10))
+
+
+def test_load_matrix_mmap_dtype(tmp_path):
+    """mmap=True returns the stored dtype (casting would defeat mmap) and
+    warns when a different dtype was requested."""
+    import warnings as w
+
+    from jamie_tpu.io import load_matrix
+
+    p = str(tmp_path / 'm64.npy')
+    np.save(p, np.arange(12, dtype=np.float64).reshape(3, 4))
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter('always')
+        out = load_matrix(p, mmap=True)           # default dtype=f32
+    assert out.dtype == np.float64 and isinstance(out, np.memmap)
+    assert any('stored dtype' in str(r.message) for r in rec)
+    with w.catch_warnings(record=True) as rec:
+        w.simplefilter('always')
+        out = load_matrix(p, mmap=True, dtype=None)
+    assert out.dtype == np.float64 and not rec
+    # non-mmap still casts
+    assert load_matrix(p).dtype == np.float32
