@@ -62,8 +62,17 @@ def main():
     # Bring-up deadline: during an axon pool outage, backend setup hangs
     # indefinitely (>40 min observed) BEFORE any of the timed work — emit an
     # error record instead of hanging the whole bench run. Cancelled the
-    # moment the first device op completes.
+    # moment the first device op completes; the lock+flag keeps the
+    # "ONE JSON line" contract if the timer fires at the cancel boundary
+    # (Timer.cancel() cannot stop a _fire already running).
+    bringup_lock = threading.Lock()
+    bringup_settled = []
+
     def _bringup_fire():
+        with bringup_lock:
+            if bringup_settled:
+                return
+            bringup_settled.append('timer')
         print(json.dumps({
             'metric': 'snare_seq_train_cells_per_sec_per_chip',
             'value': 0.0, 'unit': 'cell-samples/s', 'vs_baseline': 0.0,
@@ -75,6 +84,8 @@ def main():
     bringup.start()
     import jax
     jax.block_until_ready(jax.numpy.ones(4) + 1)
+    with bringup_lock:
+        bringup_settled.append('main')
     bringup.cancel()
 
     data, labels = make_snare_like()

@@ -9,12 +9,13 @@ Mirrors the reference notebooks' comparison cells (scGEM.ipynb cells
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, '/root/repo/examples')
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from scgem import load_scgem  # noqa: E402
 

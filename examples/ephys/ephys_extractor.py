@@ -56,7 +56,7 @@ class EphysSweepFeatureExtractor:
             self._spikes_df = {k: np.array([]) for k in (
                 'threshold_index', 'peak_index', 'trough_index',
                 'upstroke_index', 'downstroke_index')}
-            self._postprocess_spikes()
+            self._postprocess_spikes(dvdt)
             return
         peaks = ft.find_peak_indexes(v, t, putative, end)
         putative, peaks = ft.filter_putative_spikes(
@@ -66,7 +66,7 @@ class EphysSweepFeatureExtractor:
             self._spikes_df = {k: np.array([]) for k in (
                 'threshold_index', 'peak_index', 'trough_index',
                 'upstroke_index', 'downstroke_index')}
-            self._postprocess_spikes()
+            self._postprocess_spikes(dvdt)
             return
         upstrokes = ft.find_upstroke_indexes(v, t, putative, peaks,
                                              self.filter, dvdt)
@@ -97,12 +97,13 @@ class EphysSweepFeatureExtractor:
             'slow_trough_index': slow_tr,
         }
         self._spikes_df = df
-        self._postprocess_spikes()
+        self._postprocess_spikes(dvdt)
 
-    def _postprocess_spikes(self):
+    def _postprocess_spikes(self, dvdt=None):
         df = self._spikes_df
         v, t = self.v, self.t
-        dvdt = ft.calculate_dvdt(v, t, self.filter)
+        if dvdt is None:   # callers pass the one computed in process_spikes
+            dvdt = ft.calculate_dvdt(v, t, self.filter)
 
         def vt_at(idx_key, prefix):
             idx = df.get(idx_key, np.array([]))
@@ -146,11 +147,13 @@ class EphysSweepFeatureExtractor:
             if len(self._spikes_df.get('threshold_index', [])) == 0:
                 return np.array([])
             raise KeyError(f'feature {key} not available')
-        vals = self._spikes_df[key]
+        vals = np.asarray(self._spikes_df[key])
         if not include_clipped and 'clipped' in self._spikes_df \
                 and len(vals) == len(self._spikes_df['clipped']):
-            return np.asarray(vals)
-        return np.asarray(vals)
+            # AllenSDK semantics: clipped (window-truncated) spikes are
+            # excluded unless explicitly requested
+            return vals[~np.asarray(self._spikes_df['clipped'], bool)]
+        return vals
 
     def spike_feature_keys(self) -> List[str]:
         return list(self._spikes_df.keys()) if self._spikes_df else []

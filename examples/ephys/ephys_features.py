@@ -148,8 +148,12 @@ def find_peak_indexes(v, t, spike_indexes, end=None) -> np.ndarray:
     end_idx = find_time_index(t, end)
     spike_indexes = np.asarray(spike_indexes, int)
     bounds = np.concatenate([spike_indexes[1:], [end_idx]])
-    peaks = [s + np.argmax(v[s:b + 1]) for s, b in zip(spike_indexes, bounds)
-             if b > s]
+    # Clamp degenerate windows (bound at/before the spike, e.g. `end` cut
+    # inside the last spike) to the spike sample itself: dropping entries
+    # would desynchronize the result from spike_indexes, and every caller
+    # pairs the two arrays elementwise (filter_putative_spikes).
+    peaks = [s + np.argmax(v[s:max(b, s) + 1])
+             for s, b in zip(spike_indexes, bounds)]
     return np.asarray(peaks, int)
 
 
@@ -398,9 +402,11 @@ def detect_pauses(isis, isi_types, cost_weight=1.0) -> np.ndarray:
     z = (isis - med) / (1.4826 * mad)
     pause_idx = np.flatnonzero(z > 3.0 * cost_weight)
     if isi_types is not None:
+        # Pauses are defined on 'direct' ISIs only (AllenSDK semantics):
+        # a long detour ISI is the after-hyperpolarization of a burst, not
+        # a pause in regular firing.
         pause_idx = np.array(
-            [i for i in pause_idx
-             if isi_types[i] in (None, 'direct', 'detour')], int)
+            [i for i in pause_idx if isi_types[i] == 'direct'], int)
     return pause_idx
 
 

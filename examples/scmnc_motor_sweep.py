@@ -40,6 +40,12 @@ def _deseq_lognorm(x):
     """Median-of-ratios (DESeq/scran-flavor) size factors, then log1p.
     Genes with any zero are excluded from the geometric mean, as DESeq does."""
     pos = (x > 0).all(axis=0)
+    if not pos.any():
+        # No gene expressed in every cell (sparse matrices): NaN size
+        # factors would silently zero the whole modality downstream.
+        raise ValueError(
+            'DESeq median-of-ratios undefined: no all-nonzero gene; use a '
+            'CPM/UQ/TMM transform for this matrix')
     ref = np.exp(np.log(x[:, pos]).mean(axis=0))  # per-gene geometric mean
     sf = np.median(x[:, pos] / ref, axis=1, keepdims=True)
     sf = np.maximum(sf, 1e-9)

@@ -41,11 +41,11 @@ CONFIGS = {
 
 # Shared generator/cache with bench.py's pipeline leg
 try:
-    from synth import SYNTH_CACHE, synthesize
+    from synth import synthesize
 except ImportError:   # imported as a module rather than run as a script
     import sys
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from synth import SYNTH_CACHE, synthesize
+    from synth import synthesize
 
 
 def run_config(name, shape0, shape1, ref_total, epoch_dnn=10000,
