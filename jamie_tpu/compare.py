@@ -249,7 +249,24 @@ def mmdma_embed(dataset: Sequence[np.ndarray], output_dim: int = 32,
         lambda a, b, s, u, v: _mmdma_opt(Ks[0], Ks[1], a, b, s, u, v,
                                          p, int(n_iters))
     )(a1, a2, sigmas, l1s, l2s)
-    best = int(jnp.argmin(mmd))
+    # Selection must use a COMMON bandwidth: each run's own final MMD is
+    # not comparable across sigmas (as sigma grows every kernel value
+    # tends to 1 and MMD to 0 regardless of alignment), so argmin over the
+    # per-run values would systematically pick the largest-sigma runs.
+    # Re-score every run's final embeddings at the median-heuristic sigma.
+    sigma_ref = jnp.float32(med)
+
+    @jax.jit
+    def common_mmd(X, Y):
+        def k(a, b):
+            d2 = (jnp.sum(a * a, 1)[:, None] + jnp.sum(b * b, 1)[None, :]
+                  - 2 * a @ b.T)
+            return jnp.exp(-d2 / (2 * sigma_ref ** 2))
+        return (jnp.mean(k(X, X)) + jnp.mean(k(Y, Y))
+                - 2 * jnp.mean(k(X, Y)))
+
+    score = jax.vmap(common_mmd)(E1, E2)
+    best = int(jnp.argmin(score))
     return [np.asarray(E1[best]), np.asarray(E2[best])]
 
 
