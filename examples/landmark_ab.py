@@ -47,13 +47,42 @@ def run(dataset, labels, tag, **kwargs):
     return res
 
 
+def selection_ab(n=1200, L=256, epoch_pd=1500, seed=666):
+    """uniform vs fps landmark selection, scored by the mean rank of each
+    cell's TRUE match within its row of the assembled landmark F (aligned
+    synthetic, so row i's truth is column i; 0 = best of n). Measured on
+    CPU at n=1200, L=256: dense-solver-at-equal-iterations 732 (worse than
+    random — the N x N problem needs its full 20k iterations), uniform
+    48.0, fps 35.6 — the fps cover is ~1.35x better and is the default."""
+    from jamie_tpu.solvers.landmark import landmark_correspondence
+
+    dataset, labels = synth(n, f0=300, f1=200)
+    out = {'n': n, 'L': L}
+    for sel in ('uniform', 'fps'):
+        t0 = time.perf_counter()
+        F = landmark_correspondence(
+            dataset[0], dataset[1], n_landmarks=L, selection=sel,
+            seed=seed, epoch_pd=epoch_pd, log_pd=100_000).to_dense()
+        F = np.asarray(F)
+        ranks = (F > F[np.arange(n), np.arange(n)][:, None]).sum(1)
+        out[sel] = {'mean_true_match_rank': round(float(ranks.mean()), 2),
+                    'seconds': round(time.perf_counter() - t0, 1)}
+        print(json.dumps({sel: out[sel]}), flush=True)
+    print(json.dumps(out))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--cells', type=int, default=4000)
     ap.add_argument('--landmarks', type=str, default='512,1024,2048')
     ap.add_argument('--atlas', action='store_true')
     ap.add_argument('--atlas-cells', type=int, default=100_000)
+    ap.add_argument('--selection-ab', action='store_true')
     args = ap.parse_args()
+
+    if args.selection_ab:
+        selection_ab(n=args.cells if args.cells != 4000 else 1200)
+        return
 
     if args.atlas:
         # No dense leg: the point is that this size has no dense option.

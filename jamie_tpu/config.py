@@ -79,6 +79,10 @@ class JamieConfig:
     # path with that L at any size (A/B testing).
     corr_landmarks: Optional[int] = None
     corr_landmark_k: int = 8          # interpolation kNN fan-in
+    # 'fps' = farthest-point cover (better geometric coverage: ~1.35x
+    # better true-match rank than 'uniform' at L/N=0.2, measured in
+    # examples/landmark_ab.py --selection-ab); 'uniform' = plain subsampling
+    corr_landmark_selection: str = 'fps'
 
     # --- Distances (jamie/jamie.py:839-890) ---
     distance_mode: str = 'geodesic'   # UnionCom-inherited default

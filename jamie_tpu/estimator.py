@@ -262,6 +262,7 @@ class JAMIE:
                         self.dataset[i], self.dataset[j],
                         n_landmarks=cfg.corr_landmarks or 2048,
                         k_interp=cfg.corr_landmark_k,
+                        selection=cfg.corr_landmark_selection,
                         distance_mode=cfg.distance_mode, kmax=cfg.kmax,
                         seed=cfg.manual_seed, mesh=self.mesh,
                         epoch_pd=cfg.epoch_pd, rho=cfg.rho,

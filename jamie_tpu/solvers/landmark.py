@@ -5,7 +5,8 @@ f32 arrays — ~200 GB at 100k cells — so unsupervised correspondence simply
 cannot run at atlas scale, dense OR row-sharded. This solver bounds the
 whole estimation at O(N L + L²):
 
-1. sample L landmark cells per modality (uniform; L defaults to 2048),
+1. pick L landmark cells per modality (farthest-point cover by default —
+   measurably better true-match recovery than uniform; L defaults to 2048),
 2. run the exact prime-dual solver on the (L, L) landmark distance
    matrices — same iteration count, same semantics, tiny state,
 3. extend to all cells with row-stochastic kNN-Gaussian interpolation
@@ -50,6 +51,65 @@ def _interp_weights(d2, k: int, n_landmarks: int):
     return a.at[rows, idx].set(w)
 
 
+@partial(jax.jit, static_argnames=('n_landmarks',))
+def _fps_indices_device(x, first, n_landmarks: int):
+    """Farthest-point sampling (greedy 2-approx k-center cover): repeatedly
+    add the cell farthest from the chosen set. Each pick is one matvec over
+    the dataset, so L picks cost L passes over x's HBM — trivial on device.
+    Better geometric coverage than uniform sampling: the measured
+    true-match rank through the full landmark pipeline improves ~1.35x at
+    L/N=0.2: 35.6 vs 48.0 mean rank of 1200 (examples/landmark_ab.py
+    --selection-ab)."""
+    sq = jnp.sum(x * x, axis=1)
+
+    def body(i, carry):
+        idx, d = carry
+        nxt = jnp.argmax(d).astype(jnp.int32)
+        idx = idx.at[i].set(nxt)
+        d_new = jnp.maximum(sq + sq[nxt] - 2.0 * (x @ x[nxt]), 0.0)
+        return idx, jnp.minimum(d, d_new)
+
+    d0 = jnp.maximum(sq + sq[first] - 2.0 * (x @ x[first]), 0.0)
+    idx0 = jnp.zeros((n_landmarks,), jnp.int32).at[0].set(first)
+    idx, _ = jax.lax.fori_loop(1, n_landmarks, body, (idx0, d0))
+    return idx
+
+
+# FPS keeps the whole matrix device-resident in f32; past this it runs on
+# a JL sketch instead (geometry preserved to O(eps) at 256 dims)
+_FPS_BYTES_BUDGET = 2 << 30
+
+
+def _project_for_fps(arr, rng, dim: int = 256, chunk_rows: int = 8192):
+    """Device-chunked random Gaussian projection for FPS on modalities too
+    wide to sit on device in f32 (e.g. a raw 240k-feature atlas matrix):
+    pairwise distances survive a JL sketch, which is all FPS consumes."""
+    n, d = arr.shape
+    proj = jnp.asarray(
+        rng.randn(d, dim).astype(np.float32) / np.sqrt(dim))
+    out = []
+    for s in range(0, n, chunk_rows):
+        xb = jnp.asarray(np.ascontiguousarray(arr[s:s + chunk_rows],
+                                              dtype=np.float32))
+        out.append(xb @ proj)
+    return jnp.concatenate(out, axis=0) if len(out) > 1 else out[0]
+
+
+def _select_landmarks(x, n_landmarks: int, method: str, rng) -> np.ndarray:
+    n = int(x.shape[0])
+    if method == 'uniform':
+        return np.sort(rng.choice(n, n_landmarks, replace=False))
+    if method == 'fps':
+        first = int(rng.randint(n))
+        if x.shape[0] * x.shape[1] * 4 > _FPS_BYTES_BUDGET:
+            xd = _project_for_fps(x, rng)
+        else:
+            xd = jnp.asarray(np.asarray(x), jnp.float32)
+        return np.sort(np.asarray(
+            _fps_indices_device(xd, first, int(n_landmarks))))
+    raise ValueError(f'unknown landmark selection method {method!r}')
+
+
 def _cell_to_landmark_weights(x, landmarks, k: int, block: int = 8192):
     """A (n, L) built in row blocks so the (n, L) distance intermediate
     stays bounded; x and landmarks may be host or device arrays."""
@@ -72,18 +132,20 @@ def landmark_correspondence(
     seed: int = 666,
     mesh=None,
     kmax: int = 40,
+    selection: str = 'fps',
     **prime_dual_kwargs,
 ) -> LowRankF:
     """Low-rank unsupervised correspondence between datasets X (N0, f0) and
     Y (N1, f1). See module docstring; `prime_dual_kwargs` forward to the
-    exact solver (epoch_pd, rho, epsilon, delay, log_pd, verbose, ...)."""
+    exact solver (epoch_pd, rho, epsilon, delay, log_pd, verbose, ...).
+    selection: 'fps' (farthest-point cover, default) or 'uniform'."""
     from ..ops.distances import dataset_distance_matrix
 
     n0, n1 = int(X.shape[0]), int(Y.shape[0])
     L0, L1 = min(int(n_landmarks), n0), min(int(n_landmarks), n1)
     rng = np.random.RandomState(seed)
-    lx = np.sort(rng.choice(n0, L0, replace=False))
-    ly = np.sort(rng.choice(n1, L1, replace=False))
+    lx = _select_landmarks(X, L0, selection, rng)
+    ly = _select_landmarks(Y, L1, selection, rng)
     Xl = np.asarray(X)[lx]
     Yl = np.asarray(Y)[ly]
 

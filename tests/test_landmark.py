@@ -149,3 +149,59 @@ def test_estimator_landmark_auto_path(monkeypatch):
     jm2.fit_transform(dataset=[x, y])
     assert isinstance(jm2.match_result[0], LowRankF)
     assert jm2.match_result[0].rank == 24
+
+
+def test_fps_selection_properties():
+    """FPS indices: deterministic given the seed, distinct, and a better
+    geometric cover than uniform (smaller max distance-to-nearest-landmark
+    on a clustered dataset)."""
+    import jax.numpy as jnp
+
+    from jamie_tpu.solvers.landmark import _select_landmarks
+
+    rng = np.random.RandomState(3)
+    x = np.concatenate([rng.randn(150, 5) + c * 6
+                        for c in range(4)]).astype(np.float32)
+
+    def cover_radius(idx):
+        d2 = ((x[:, None] - x[idx][None]) ** 2).sum(-1)
+        return float(np.sqrt(d2.min(1)).max())
+
+    f1 = _select_landmarks(x, 24, 'fps', np.random.RandomState(0))
+    f2 = _select_landmarks(x, 24, 'fps', np.random.RandomState(0))
+    np.testing.assert_array_equal(f1, f2)
+    assert len(np.unique(f1)) == 24
+    u = _select_landmarks(x, 24, 'uniform', np.random.RandomState(0))
+    assert cover_radius(f1) <= cover_radius(u)
+    with pytest.raises(ValueError):
+        _select_landmarks(x, 4, 'kmeanz', np.random.RandomState(0))
+
+
+def test_landmark_fps_end_to_end():
+    """selection='fps' flows through the public correspondence API and the
+    estimator config knob."""
+    rng = np.random.RandomState(5)
+    z = rng.randn(80, 6).astype(np.float32)
+    x = (z @ rng.randn(6, 30)).astype(np.float32)
+    y = (z @ rng.randn(6, 20)).astype(np.float32)
+    lr = landmark_correspondence(x, y, n_landmarks=24, k_interp=4,
+                                 selection='fps', epoch_pd=100, log_pd=1000)
+    F = np.asarray(lr.to_dense())
+    assert F.shape == (80, 80) and np.isfinite(F).all() and (F >= 0).all()
+
+
+def test_fps_wide_modality_sketch(monkeypatch):
+    """Past the device budget, FPS runs on a JL sketch; indices stay valid
+    and deterministic."""
+    from jamie_tpu.solvers import landmark as lmod
+
+    monkeypatch.setattr(lmod, '_FPS_BYTES_BUDGET', 1024)
+    rng = np.random.RandomState(2)
+    x = np.concatenate([rng.randn(60, 40) + c * 8
+                        for c in range(3)]).astype(np.float32)
+    f1 = lmod._select_landmarks(x, 12, 'fps', np.random.RandomState(1))
+    f2 = lmod._select_landmarks(x, 12, 'fps', np.random.RandomState(1))
+    np.testing.assert_array_equal(f1, f2)
+    assert len(np.unique(f1)) == 12 and f1.min() >= 0 and f1.max() < 180
+    # a good cover touches all three separated clusters
+    assert len(np.unique(f1 // 60)) == 3
