@@ -65,6 +65,10 @@ class JamieConfig:
     # --- Correspondence solver (UnionCom-inherited; jamie/jamie.py:314-414) ---
     use_f_tilde: bool = True
     corr_method: str = 'unioncom'     # 'unioncom' | 'jamie' (low-rank, WIP in ref)
+    # 2000 is the pinned unioncom 0.4.0 default the reference actually ran:
+    # every committed notebook output prints epoch:[2000/2000] with no
+    # epoch_pd kwarg passed (e.g. scGLUE.ipynb cell 8), so the wall-clock
+    # baselines in BASELINE.md are iteration-matched to this default.
     epoch_pd: int = 2000
     epsilon: float = 0.001            # prime-dual step size
     rho: float = 10.0                 # augmented-lagrangian penalty
