@@ -76,7 +76,7 @@ def _insert_rows(resident, xb, start):
     return _insert_rows_jit(resident, xb, start)
 
 
-def build_resident_bf16(arr: np.ndarray, chunk_bytes: int = 256 << 20):
+def build_resident_bf16(arr, chunk_bytes: int = 256 << 20):
     """Upload a big host f32 matrix as one device-resident bf16 array.
 
     Row-contiguous chunks: sequential reads (a column-strided pass over a
@@ -85,17 +85,21 @@ def build_resident_bf16(arr: np.ndarray, chunk_bytes: int = 256 << 20):
     the preallocated resident matrix — so the link transfer of chunk k
     overlaps the read+cast of chunk k+1 and no jnp.concatenate transient
     ever doubles the footprint (at scGLUE scale that second 4.4 GB copy,
-    stacked on both modalities' arrays, crashed the worker)."""
+    stacked on both modalities' arrays, crashed the worker).
+
+    scipy-sparse inputs (CSR preferred) densify per row chunk — the dense
+    matrix never exists on host."""
     import jax
     import jax.numpy as jnp
     import ml_dtypes
+
+    from .hostmat import dense_rows
 
     n, f = arr.shape
     rows = max(int(chunk_bytes / max(f * 2, 1)), 64)
     resident = jnp.zeros((n, f), ml_dtypes.bfloat16)
     for s in range(0, n, rows):
-        xb = jnp.asarray(host_bf16(
-            np.ascontiguousarray(arr[s:s + rows], dtype=np.float32)))
+        xb = jnp.asarray(host_bf16(dense_rows(arr, s, s + rows)))
         resident = _insert_rows(resident, xb, jnp.asarray(s, jnp.int32))
     return jax.block_until_ready(resident)
 
@@ -104,11 +108,14 @@ def device_bf16(arr, budget_bytes: Optional[int] = None):
     """The whole matrix as a device-resident bf16 array, or None when it
     would not fit the budget. Cached per host array so the distance and
     PCA phases share one upload."""
+    from .hostmat import is_scipy_sparse
     if budget_bytes is None:
         budget_bytes = DEFAULT_BUDGET_BYTES  # resolved per call: patchable
-    if not isinstance(arr, np.ndarray):
+    if not (isinstance(arr, np.ndarray) or is_scipy_sparse(arr)):
         return None
-    if arr.size * 2 > budget_bytes:
+    # The resident copy is DENSE bf16 either way, so the budget is the
+    # dense element count (sparse .size would count nnz, not footprint).
+    if int(arr.shape[0]) * int(arr.shape[1]) * 2 > budget_bytes:
         return None
     key = id(arr)
     hit = _cache.get(key)

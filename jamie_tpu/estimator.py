@@ -50,12 +50,11 @@ LANDMARK_AUTO_ENTRIES = 250_000_000
 
 
 def _unwrap_anndata(dataset):
-    """AnnData unwrap (jamie/jamie.py:147-149); anndata is an optional dep."""
-    try:
-        import anndata as ad
-    except ImportError:
-        return dataset, None
-    if isinstance(dataset[0], ad.AnnData):
+    """AnnData unwrap (jamie/jamie.py:147-149). Duck-typed on `.X`+`.obs`
+    so it covers anndata.AnnData (optional dep) and jamie_tpu.io.H5adData
+    (the native h5ad reader) alike — either feeds fit_transform directly."""
+    if dataset and all(hasattr(d, 'X') and hasattr(d, 'obs')
+                       for d in dataset):
         return [d.X for d in dataset], dataset
     return dataset, None
 
@@ -111,8 +110,13 @@ class JAMIE:
         # — this pipeline never writes into the input arrays (the residency
         # layer's read-only contract), so both settings alias them. Copying
         # would materialize memmap-backed atlases (scGLUE's 8.9 GB ATAC) on
-        # host for nothing.
-        self.dataset = [np.asarray(d) for d in self.dataset]
+        # host for nothing. scipy-sparse modalities stay sparse (normalized
+        # to CSR for the row-streamed device paths) — the reference densifies
+        # at load (scGLUE.ipynb cell 3 .todense()); here the dense matrix
+        # never exists on host.
+        from .core.hostmat import ensure_row_major, is_scipy_sparse
+        self.dataset = [ensure_row_major(d) if is_scipy_sparse(d)
+                        else np.asarray(d) for d in self.dataset]
 
         self.dataset_num = len(self.dataset)
         assert self.dataset_num == 2, (
@@ -181,11 +185,14 @@ class JAMIE:
             from .solvers.tsne import joint_probabilities, project_tsne
             P_joint = [joint_probabilities(self.dist[i], cfg.perplexity)
                        for i in range(self.dataset_num)]
+            from .core.hostmat import densify, is_scipy_sparse
             for i in range(self.dataset_num):
                 if self.col[i] > 50:
                     self.dataset[i] = PCA(n_components=50).fit_transform(
                         self.dataset[i])
                     self.col[i] = 50
+                elif is_scipy_sparse(self.dataset[i]):
+                    self.dataset[i] = densify(self.dataset[i])
             integrated_data = project_tsne(
                 self.dataset, P_joint, self.pairs_x[0], self.pairs_y[0],
                 output_dim=cfg.output_dim, n_iters=cfg.tsne_iters,

@@ -79,7 +79,11 @@ def _pairwise_euclidean_feature_chunked(x, y, squared, self_dist,
 
     For extreme feature counts (e.g. 242k-feature ATAC, SURVEY.md section 6
     scGLUE row) the full matrix never has to reside in HBM; only the chunk
-    and the N x N accumulator do. Norm accumulation rides the same transfer."""
+    and the N x N accumulator do. Norm accumulation rides the same transfer.
+    Sparse inputs should arrive CSC (the caller converts) so each column
+    chunk densifies in O(chunk nnz)."""
+    from ..core.hostmat import dense_cols
+
     n, f = x.shape
     m = y.shape[0]
     chunk = max(int(chunk_bytes / ((n + m) * 4)), 1024)
@@ -87,11 +91,9 @@ def _pairwise_euclidean_feature_chunked(x, y, squared, self_dist,
     x_sq = jnp.zeros((n,), jnp.float32)
     y_sq = jnp.zeros((m,), jnp.float32)
     for start in range(0, f, chunk):
-        xb = jnp.asarray(np.ascontiguousarray(
-            x[:, start:start + chunk], dtype=np.float32))
+        xb = jnp.asarray(dense_cols(x, start, start + chunk))
         yb = xb if (self_dist and y is x) else jnp.asarray(
-            np.ascontiguousarray(y[:, start:start + chunk],
-                                 dtype=np.float32))
+            dense_cols(y, start, start + chunk))
         acc, x_sq, y_sq = _gram_accum(acc, x_sq, y_sq, xb, yb)
     d2 = x_sq[:, None] + y_sq[None, :] - 2.0 * acc
     d2 = jnp.maximum(d2, 0.0)
@@ -171,19 +173,28 @@ def _euclidean_sharded(x, y, squared: bool, rows):
 
 
 def _pairwise_euclidean_impl(x, y=None, squared=False, block=4096, mesh=None):
+    from ..core.hostmat import densify, ensure_col_major, is_scipy_sparse
+
     self_dist = y is None
     if (np.ndim(x) == 2
             and x.shape[0] * x.shape[1] > _FEATURE_CHUNK_THRESHOLD):
         if self_dist:
             from ..core.residency import device_bf16
             # One bf16 upload shared with the PCA phase (cached), then one
-            # fused Gram straight from HBM.
-            xdev = device_bf16(np.asarray(x))
+            # fused Gram straight from HBM. Sparse x streams through the
+            # same row-chunked build (densified per chunk).
+            xdev = device_bf16(x if is_scipy_sparse(x) else np.asarray(x))
             if xdev is not None:
                 return _euclidean_resident_bf16(xdev, squared, True)
+        xs = ensure_col_major(x)
+        ys = xs if y is None else ensure_col_major(y)
         return _pairwise_euclidean_feature_chunked(
-            x, x if y is None else y, squared, self_dist)
+            xs, ys, squared, self_dist)
+    if is_scipy_sparse(x):
+        x = densify(x)          # sub-threshold: <=400 MB dense f32
     y = x if y is None else y
+    if is_scipy_sparse(y):
+        y = densify(y)
     x = jnp.asarray(x, jnp.float32)
     y = jnp.asarray(y, jnp.float32)
     if mesh is not None:
@@ -282,6 +293,11 @@ def pairwise_distance(x, metric: str = 'euclidean', block: int = 4096,
     if metric == 'sqeuclidean':
         return _pairwise_euclidean_impl(x, squared=True, block=block,
                                         mesh=mesh)
+    from ..core.hostmat import densify, is_scipy_sparse
+    if is_scipy_sparse(x):
+        # Only the euclidean family streams sparse blocks; the angular /
+        # host-fallback metrics are used at widths where dense is fine.
+        x = densify(x)
     if metric in ('cosine', 'correlation'):
         xj = jnp.asarray(x, jnp.float32)
         if mesh is not None:
@@ -346,8 +362,15 @@ def geodesic_distances(data: np.ndarray, kmax: int = 40,
 def dataset_distance_matrix(data, distance_mode: str = 'euclidean',
                             kmax: int = 40, mesh=None) -> np.ndarray:
     """Distance matrix dispatch, matching compute_distances' modes
-    (jamie/jamie.py:851-885)."""
-    data = np.asarray(data)
+    (jamie/jamie.py:851-885). scipy-sparse data passes through to the
+    sparse-aware euclidean streaming paths; the rank/correlation modes
+    densify (they need the full dense matrix on device anyway)."""
+    from ..core.hostmat import densify, is_scipy_sparse
+    if is_scipy_sparse(data):
+        if distance_mode in ('spearman', 'pearson'):
+            data = densify(data)
+    else:
+        data = np.asarray(data)
     if distance_mode == 'geodesic':
         return geodesic_distances(data, kmax=kmax, mesh=mesh)
     if distance_mode == 'spearman':

@@ -106,13 +106,17 @@ def _pca_fit_resident_bf16(X, n_components: int, oversample: int = 10,
     return mean, comps, scores
 
 
-def _pca_fit_streamed(X: np.ndarray, n_components: int, oversample: int = 10,
+def _pca_fit_streamed(X, n_components: int, oversample: int = 10,
                       seed: int = 0):
     """Randomized PCA with the feature axis streamed host->device, for
     matrices too large to keep whole in HBM (e.g. 9.2k x 242k ATAC). Two
     streaming passes: range finding (Y = Xc Omega, with Omega generated
     per-chunk from a counter-derived key) and projection (B = Q^T Xc);
-    avoids both the resident matrix and the N x N eigh."""
+    avoids both the resident matrix and the N x N eigh. Sparse X should
+    arrive CSC (_pca_fit converts) so each column chunk densifies in
+    O(chunk nnz)."""
+    from .core.hostmat import dense_cols
+
     n, f = X.shape
     k = min(n_components + oversample, n)
     chunk = max(int((1 << 30) / (n * 4)), 1024)
@@ -122,8 +126,7 @@ def _pca_fit_streamed(X: np.ndarray, n_components: int, oversample: int = 10,
     mean_parts = []
     Y = jnp.zeros((n, k), jnp.float32)
     for ci, start in enumerate(range(0, f, chunk)):
-        xb = jnp.asarray(np.ascontiguousarray(
-            X[:, start:start + chunk], dtype=np.float32))
+        xb = jnp.asarray(dense_cols(X, start, start + chunk))
         mb = jnp.mean(xb, axis=0)
         omega_b = jax.random.normal(jax.random.fold_in(key, ci),
                                     (xb.shape[1], k), jnp.float32)
@@ -134,8 +137,7 @@ def _pca_fit_streamed(X: np.ndarray, n_components: int, oversample: int = 10,
     # Pass 2: B = Q^T Xc, accumulated on host per chunk (k x f)
     comp_parts = []
     for start in range(0, f, chunk):
-        xb = jnp.asarray(np.ascontiguousarray(
-            X[:, start:start + chunk], dtype=np.float32))
+        xb = jnp.asarray(dense_cols(X, start, start + chunk))
         xbc = xb - jnp.mean(xb, axis=0)
         comp_parts.append(np.asarray(Q.T @ xbc))
     B = np.concatenate(comp_parts, axis=1)           # (k, f) on host
@@ -163,21 +165,29 @@ def _component_signs(comps) -> jnp.ndarray:
 
 
 def _pca_fit(X, n_components: int):
-    """Return (mean, components[k, F], fit_scores_or_None)."""
-    n, f = np.shape(X)
+    """Return (mean, components[k, F], fit_scores_or_None). scipy-sparse X
+    flows through the residency / column-streamed routes blockwise; the
+    small-matrix routes densify (sub-threshold by definition)."""
+    from .core.hostmat import densify, ensure_col_major, is_scipy_sparse
+
+    sparse_in = is_scipy_sparse(X)
+    n, f = X.shape if sparse_in else np.shape(X)
     if n * f > _STREAM_THRESHOLD and f > n:
         from .core.residency import device_bf16
-        xdev = device_bf16(np.asarray(X))
+        xdev = device_bf16(X if sparse_in else np.asarray(X))
         if xdev is not None:
             # One shared bf16 residency (uploaded by the distance phase)
             # replaces the streamed path's two extra f32 passes
             mean, comps, scores = _pca_fit_resident_bf16(xdev, n_components)
         else:
-            mean, comps, scores = _pca_fit_streamed(np.asarray(X),
-                                                    n_components)
+            mean, comps, scores = _pca_fit_streamed(
+                ensure_col_major(X) if sparse_in else np.asarray(X),
+                n_components)
         signs = _component_signs(comps)
         return (mean, comps * signs[:, None],
                 np.asarray(scores) * np.asarray(signs)[None, :])
+    if sparse_in:
+        X = densify(X)
     if (min(n, f) > _RANDOMIZED_THRESHOLD
             and n_components <= min(n, f) // 4):
         mean, comps = _pca_fit_randomized(
@@ -231,8 +241,10 @@ class PCA:
         self.scores_: Optional[np.ndarray] = None
 
     def fit(self, X):
-        mean, comps, scores = _pca_fit(np.asarray(X, np.float32),
-                                       self.n_components)
+        from .core.hostmat import is_scipy_sparse
+        if not is_scipy_sparse(X):
+            X = np.asarray(X, np.float32)
+        mean, comps, scores = _pca_fit(X, self.n_components)
         # Device-resident: at wide-F shapes the components are ~0.5 GB
         # (512 x 241757) and every transform/inverse consumes them on
         # device anyway — fetching to host and re-uploading costs two
@@ -244,16 +256,19 @@ class PCA:
         return self
 
     def transform(self, X, row_chunk_bytes: int = 2 << 30):
-        X = np.asarray(X, np.float32)
+        from .core.hostmat import dense_rows, is_scipy_sparse
+        if not is_scipy_sparse(X):
+            X = np.asarray(X, np.float32)
         comps_t = jnp.asarray(self.components_).T
         mean = jnp.asarray(self.mean_)
         n, f = X.shape
-        if n * f * 4 <= row_chunk_bytes:
+        if n * f * 4 <= row_chunk_bytes and not is_scipy_sparse(X):
             return np.asarray(_pca_project(jnp.asarray(X), mean, comps_t))
         # Row-chunked projection so huge matrices never sit whole in HBM
+        # (and sparse inputs densify one row block at a time)
         rows = max(int(row_chunk_bytes / (f * 4)), 64)
-        out = [np.asarray(_pca_project(jnp.asarray(X[s:s + rows]), mean,
-                                       comps_t))
+        out = [np.asarray(_pca_project(jnp.asarray(dense_rows(X, s, s + rows)),
+                                       mean, comps_t))
                for s in range(0, n, rows)]
         return np.concatenate(out, axis=0)
 
@@ -359,8 +374,22 @@ class Preprocessor:
             method: str = 'pca') -> 'Preprocessor':
         """Build the per-modality preprocessor exactly as project_jamie does
         (jamie/jamie.py:436-465): PCA to pca_dim (clamped, with warning) then
-        scalar standardization; or per-feature standardization if no PCA."""
-        data = np.asarray(data, np.float32)
+        scalar standardization; or per-feature standardization if no PCA.
+
+        scipy-sparse data streams through the PCA routes blockwise; the
+        no-PCA route densifies (per-feature standardization destroys
+        sparsity anyway) with a warning at atlas sizes."""
+        from .core.hostmat import densify, is_scipy_sparse
+        if is_scipy_sparse(data):
+            if pca_dim is None:
+                if data.shape[0] * data.shape[1] > 1_000_000_000:
+                    warnings.warn(
+                        'sparse input without pca_dim densifies '
+                        f'{data.shape} on host; set pca_dim to keep the '
+                        'pipeline streaming', UserWarning)
+                data = densify(data)
+        else:
+            data = np.asarray(data, np.float32)
         if pca_dim is not None:
             dim = int(pca_dim)
             if min(*data.shape) < dim:
@@ -372,6 +401,8 @@ class Preprocessor:
             # of the fit data never re-projects the full matrix)
             if method in ('umap', 'tsne'):
                 pca = NonlinearEmbedding(n_components=dim, method=method)
+                if is_scipy_sparse(data):
+                    data = densify(data)   # NLE preclass is small-N only
             else:
                 pca = PCA(n_components=dim)
             sample = pca.fit_transform(data)
@@ -396,7 +427,13 @@ class Preprocessor:
         return out
 
     def transform(self, X):
-        out = np.asarray(X, np.float32)
+        from .core.hostmat import densify, is_scipy_sparse
+        if is_scipy_sparse(X):
+            # PCA.transform streams sparse rows itself; everything else
+            # (NLE kNN interpolation, bare standardization) needs dense.
+            out = X if isinstance(self.pca, PCA) else densify(X)
+        else:
+            out = np.asarray(X, np.float32)
         if self.pca is not None:
             out = self.pca.transform(out)
         out = out - self.sample_mean

@@ -84,13 +84,14 @@ def _project_for_fps(arr, rng, dim: int = 256, chunk_rows: int = 8192):
     """Device-chunked random Gaussian projection for FPS on modalities too
     wide to sit on device in f32 (e.g. a raw 240k-feature atlas matrix):
     pairwise distances survive a JL sketch, which is all FPS consumes."""
+    from ..core.hostmat import dense_rows
+
     n, d = arr.shape
     proj = jnp.asarray(
         rng.randn(d, dim).astype(np.float32) / np.sqrt(dim))
     out = []
     for s in range(0, n, chunk_rows):
-        xb = jnp.asarray(np.ascontiguousarray(arr[s:s + chunk_rows],
-                                              dtype=np.float32))
+        xb = jnp.asarray(dense_rows(arr, s, s + chunk_rows))
         out.append(xb @ proj)
     return jnp.concatenate(out, axis=0) if len(out) > 1 else out[0]
 
@@ -100,11 +101,14 @@ def _select_landmarks(x, n_landmarks: int, method: str, rng) -> np.ndarray:
     if method == 'uniform':
         return np.sort(rng.choice(n, n_landmarks, replace=False))
     if method == 'fps':
+        from ..core.hostmat import densify, is_scipy_sparse
         first = int(rng.randint(n))
         if x.shape[0] * x.shape[1] * 4 > _FPS_BYTES_BUDGET:
+            # the JL projection densifies sparse row blocks on the way in
             xd = _project_for_fps(x, rng)
         else:
-            xd = jnp.asarray(np.asarray(x), jnp.float32)
+            xd = jnp.asarray(densify(x) if is_scipy_sparse(x)
+                             else np.asarray(x), jnp.float32)
         return np.sort(np.asarray(
             _fps_indices_device(xd, first, int(n_landmarks))))
     raise ValueError(f'unknown landmark selection method {method!r}')
@@ -113,12 +117,14 @@ def _select_landmarks(x, n_landmarks: int, method: str, rng) -> np.ndarray:
 def _cell_to_landmark_weights(x, landmarks, k: int, block: int = 8192):
     """A (n, L) built in row blocks so the (n, L) distance intermediate
     stays bounded; x and landmarks may be host or device arrays."""
+    from ..core.hostmat import dense_rows
+
     lm = jnp.asarray(np.asarray(landmarks), jnp.float32)
     n = x.shape[0]
     L = lm.shape[0]
     parts = []
     for s in range(0, n, block):
-        xb = jnp.asarray(np.asarray(x[s:s + block]), jnp.float32)
+        xb = jnp.asarray(dense_rows(x, s, s + block), jnp.float32)
         d2 = pairwise_sq_euclidean(xb, lm)
         parts.append(_interp_weights(d2, min(k, L), L))
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
@@ -143,11 +149,15 @@ def landmark_correspondence(
 
     n0, n1 = int(X.shape[0]), int(Y.shape[0])
     L0, L1 = min(int(n_landmarks), n0), min(int(n_landmarks), n1)
+    from ..core.hostmat import is_scipy_sparse
+
     rng = np.random.RandomState(seed)
     lx = _select_landmarks(X, L0, selection, rng)
     ly = _select_landmarks(Y, L1, selection, rng)
-    Xl = np.asarray(X)[lx]
-    Yl = np.asarray(Y)[ly]
+    # CSR fancy row indexing gathers just the landmark rows — the full
+    # matrix never densifies
+    Xl = X[lx].toarray() if is_scipy_sparse(X) else np.asarray(X)[lx]
+    Yl = Y[ly].toarray() if is_scipy_sparse(Y) else np.asarray(Y)[ly]
 
     # Exact solver on the landmark subproblem. Graph-based modes (geodesic)
     # are computed on the landmark subset's own graph — at L=2048 that is a
