@@ -56,3 +56,49 @@ def synthesize(shape0, shape1, seed=0, latent=32):
     except OSError:
         pass  # no disk room: run uncached
     return data
+
+
+def synthesize_sparse_pair(n, d0, d1, density=0.03, seed=0, latent=24):
+    """Counts-like sparse CSR modality pair over a shared clustered latent
+    (the 10x-multiome shape class: tall, nonnegative, a few % nonzero).
+
+    Row-chunked generation — the dense matrix never materializes — with a
+    per-modality cutoff calibrated on the first chunk to hit the target
+    density. Disk-cached as .npz (scipy save_npz) beside the dense tm_
+    caches."""
+    from scipy import sparse
+
+    paths = [os.path.join(SYNTH_CACHE, f'sp_{n}x{d}_{density}_{seed}_{i}.npz')
+             for i, d in enumerate((d0, d1))]
+    if all(os.path.exists(p) for p in paths):
+        return [sparse.load_npz(p) for p in paths]
+
+    rng = np.random.default_rng(seed)
+    z = rng.standard_normal((n, latent), dtype=np.float32)
+    centers = 2.0 * rng.standard_normal((12, latent), dtype=np.float32)
+    z += centers[rng.integers(0, 12, n)]
+
+    def one(d):
+        w = rng.standard_normal((latent, d), dtype=np.float32)
+        chunk = max(int((1 << 29) / (d * 4)), 256)
+        first = z[:chunk] @ w + 0.3 * rng.standard_normal(
+            (min(chunk, n), d), dtype=np.float32)
+        cutoff = np.quantile(first, 1.0 - density)
+        blocks = []
+        for s in range(0, n, chunk):
+            xb = z[s:s + chunk] @ w
+            xb += 0.3 * rng.standard_normal(xb.shape, dtype=np.float32)
+            xb -= cutoff
+            np.maximum(xb, 0.0, out=xb)   # relu at the density cutoff
+            blocks.append(sparse.csr_matrix(xb))
+        return sparse.vstack(blocks, format='csr')
+
+    data = [one(d0), one(d1)]
+    try:
+        os.makedirs(SYNTH_CACHE, exist_ok=True)
+        for p, m in zip(paths, data):
+            sparse.save_npz(p + '.tmp', m)
+            os.replace(p + '.tmp.npz', p)
+    except OSError:
+        pass
+    return data

@@ -154,6 +154,63 @@ def _pca_fit_streamed(X, n_components: int, oversample: int = 10,
     return mean, comps, scores
 
 
+def _pca_fit_row_streamed(X, n_components: int, oversample: int = 10,
+                          seed: int = 0, chunk_bytes: int = 1 << 30):
+    """Randomized PCA with the CELL axis streamed host->device, for tall
+    matrices (n > f) too large to reside whole — the raw-feature atlas
+    case (e.g. 100k cells x 20k genes, dense or CSR). The (f, k) sketch,
+    (k, f) projection, and (k, k) eigh all fit trivially; the matrix is
+    read three times in row blocks (sketch, power iteration, projection)
+    and the training scores come free from the final range.
+
+    Mirrors _pca_fit_streamed (the wide-matrix, column-streamed twin)."""
+    from .core.hostmat import dense_rows
+
+    n, f = X.shape
+    k = min(n_components + oversample, min(n, f))
+    rows = max(int(chunk_bytes / max(f * 4, 1)), 256)
+    key = jax.random.PRNGKey(seed)
+
+    # Column means: one streamed pass (scipy sparse .mean is O(nnz))
+    if hasattr(X, 'mean') and not isinstance(X, np.ndarray):
+        mean = jnp.asarray(np.asarray(X.mean(axis=0)).ravel(), jnp.float32)
+    else:
+        acc = np.zeros((f,), np.float64)
+        for s in range(0, n, rows):
+            acc += dense_rows(X, s, s + rows).sum(axis=0, dtype=np.float64)
+        mean = jnp.asarray(acc / n, jnp.float32)
+
+    omega = jax.random.normal(key, (f, k), jnp.float32)
+
+    def sketch(M):
+        """Y = Xc M, streamed over row blocks: (n, k) stays on device."""
+        mo = mean @ M                                   # (k,)
+        parts = []
+        for s in range(0, n, rows):
+            xb = jnp.asarray(dense_rows(X, s, s + rows))
+            parts.append(xb @ M - mo[None, :])
+        return jnp.concatenate(parts, axis=0)
+
+    def project(Q):
+        """B = Q^T Xc, streamed: (k, f) accumulator on device."""
+        B = -jnp.sum(Q, axis=0)[:, None] * mean[None, :]
+        for s in range(0, n, rows):
+            xb = jnp.asarray(dense_rows(X, s, s + rows))
+            B = B + Q[s:s + rows].T @ xb
+        return B
+
+    Q, _ = jnp.linalg.qr(sketch(omega))
+    Q, _ = jnp.linalg.qr(sketch(project(Q).T))          # one power iteration
+    B = project(Q)
+    BBt = B @ B.T
+    w, Ub = jnp.linalg.eigh(BBt)
+    Ub = Ub[:, ::-1][:, :n_components]
+    s = jnp.sqrt(jnp.maximum(w[::-1][:n_components], 1e-12))
+    comps = (Ub / s).T @ B                              # (n_components, f)
+    scores = Q @ (Ub * s)                               # (n, n_components)
+    return mean, comps, np.asarray(scores)
+
+
 @jax.jit
 def _component_signs(comps) -> jnp.ndarray:
     """Deterministic signs (sklearn svd_flip style: largest-|.| of each
@@ -172,17 +229,20 @@ def _pca_fit(X, n_components: int):
 
     sparse_in = is_scipy_sparse(X)
     n, f = X.shape if sparse_in else np.shape(X)
-    if n * f > _STREAM_THRESHOLD and f > n:
+    if n * f > _STREAM_THRESHOLD:
         from .core.residency import device_bf16
         xdev = device_bf16(X if sparse_in else np.asarray(X))
         if xdev is not None:
             # One shared bf16 residency (uploaded by the distance phase)
             # replaces the streamed path's two extra f32 passes
             mean, comps, scores = _pca_fit_resident_bf16(xdev, n_components)
-        else:
+        elif f > n:
             mean, comps, scores = _pca_fit_streamed(
                 ensure_col_major(X) if sparse_in else np.asarray(X),
                 n_components)
+        else:
+            # tall (atlas) orientation: stream the cell axis instead
+            mean, comps, scores = _pca_fit_row_streamed(X, n_components)
         signs = _component_signs(comps)
         return (mean, comps * signs[:, None],
                 np.asarray(scores) * np.asarray(signs)[None, :])

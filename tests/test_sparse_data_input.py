@@ -109,6 +109,38 @@ def test_pca_sparse_parity_direct_and_streamed(monkeypatch):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_pca_row_streamed_tall_route(monkeypatch):
+    """Tall (n > f) matrices over the stream threshold with no residency
+    budget take the new row-streamed randomized route — parity vs the
+    direct fit for dense AND sparse inputs."""
+    from jamie_tpu import preprocess
+    from jamie_tpu.core import residency
+
+    rng = np.random.RandomState(11)
+    # strongly separated spectrum: near-degenerate eigenpairs would rotate
+    # freely between the exact and randomized routes
+    z = rng.randn(400, 6).astype(np.float32) * np.array(
+        [16, 9, 5.5, 3.2, 1.9, 1.0], np.float32)
+    dense = np.maximum(z @ rng.randn(6, 40) - 0.3, 0).astype(np.float32)
+    csr = sparse.csr_matrix(dense)
+
+    out_ref = preprocess.PCA(5).fit_transform(dense)   # direct route
+
+    monkeypatch.setattr(preprocess, '_STREAM_THRESHOLD', 100)
+    monkeypatch.setattr(residency, 'DEFAULT_BUDGET_BYTES', 0)
+    for X in (dense, csr):
+        out = preprocess.PCA(5).fit_transform(X)
+        # randomized-vs-exact: captured variance per component...
+        np.testing.assert_allclose(np.linalg.norm(out, axis=0),
+                                   np.linalg.norm(out_ref, axis=0),
+                                   rtol=1e-3)
+        # ...and each component's direction (signed correlation; exact
+        # elementwise equality is not a property of a randomized sketch)
+        for j in range(5):
+            r = np.corrcoef(out[:, j], out_ref[:, j])[0, 1]
+            assert r > 0.999, (j, r)
+
+
 def test_pca_sparse_resident_route(monkeypatch):
     from jamie_tpu import preprocess
     from jamie_tpu.core import residency
