@@ -112,35 +112,38 @@ def lma_embed(dataset: Sequence[np.ndarray], P=None, output_dim: int = 32,
     return [np.asarray(X0 @ V[:f0]), np.asarray(X1 @ V[f0:])]
 
 
-@partial(jax.jit, static_argnames=('output_dim',))
-def _cca_core(X, Y, output_dim: int, reg: float = 1e-3):
-    X = X - jnp.mean(X, axis=0)
-    Y = Y - jnp.mean(Y, axis=0)
-    n = X.shape[0]
-    Cxx = X.T @ X / n + reg * jnp.eye(X.shape[1])
-    Cyy = Y.T @ Y / n + reg * jnp.eye(Y.shape[1])
-    Cxy = X.T @ Y / n
-
-    def isqrt(C):
-        w, V = jnp.linalg.eigh(C)
-        return (V / jnp.sqrt(jnp.maximum(w, 1e-10))) @ V.T
-
-    Wx, Wy = isqrt(Cxx), isqrt(Cyy)
-    U, s, Vt = jnp.linalg.svd(Wx @ Cxy @ Wy)
-    A = Wx @ U[:, :output_dim]
-    B = Wy @ Vt.T[:, :output_dim]
-    return X @ A, Y @ B
-
-
-def cca_embed(dataset: Sequence[np.ndarray],
+def cca_embed(dataset: Sequence[np.ndarray], P=None,
               output_dim: int = 32) -> List[np.ndarray]:
-    """Canonical correlation analysis on row-aligned data (mmd_combine
-    method='maninetcluster', alignment='cca'; scGEM.ipynb cell 16)."""
-    assert dataset[0].shape[0] == dataset[1].shape[0], 'CCA needs aligned rows'
-    d = min(int(output_dim), dataset[0].shape[1], dataset[1].shape[1])
-    e0, e1 = _cca_core(jnp.asarray(dataset[0], jnp.float32),
-                       jnp.asarray(dataset[1], jnp.float32), d)
-    return [np.asarray(e0), np.asarray(e1)]
+    """CCA as the reference ran it (mmd_combine method='maninetcluster',
+    alignment='cca'; scGEM.ipynb cell 16).
+
+    ManiNetCluster implements 'cca' in the Wang & Mahadevan manifold-
+    alignment framework: the LINEAR joint eigenproblem with a
+    correspondence-only joint graph (mu = 1 — no within-modality kNN
+    edges), not the classical covariance-whitening CCA. The two differ
+    materially: on real scGEM the classical solution scores LTA 0.616 /
+    FOSCTTM 0.108 while this formulation scores 0.774 / 0.071 against the
+    reference's committed 0.768 / 0.094 (cell 25) — so matching the
+    framework is what parity means here. Solved by the same generalized
+    eigensolver as lma_embed, with W = [[0, P], [P^T, 0]]."""
+    n0, n1 = dataset[0].shape[0], dataset[1].shape[0]
+    if P is None:
+        assert n0 == n1, 'CCA needs aligned rows or an explicit P'
+        P = jnp.eye(n0, dtype=jnp.float32)
+    else:
+        P = jnp.asarray(np.asarray(P), jnp.float32)
+    X0 = jnp.asarray(dataset[0], jnp.float32)
+    X1 = jnp.asarray(dataset[1], jnp.float32)
+    X0 = X0 - jnp.mean(X0, axis=0)
+    X1 = X1 - jnp.mean(X1, axis=0)
+    f0, f1 = X0.shape[1], X1.shape[1]
+    Z = jnp.block([[X0, jnp.zeros((n0, f1))],
+                   [jnp.zeros((n1, f0)), X1]])
+    W = jnp.block([[jnp.zeros((n0, n0)), P],
+                   [P.T, jnp.zeros((n1, n1))]])
+    d = jnp.sum(W, axis=1)
+    V = _lma_eig(Z, W, d, int(output_dim))
+    return [np.asarray(X0 @ V[:f0]), np.asarray(X1 @ V[f0:])]
 
 
 @partial(jax.jit, static_argnames=('output_dim', 'n_iters'))

@@ -43,6 +43,18 @@ def test_cca_aligns(pair):
     assert _foscttm(emb) < 0.1
 
 
+def test_cca_explicit_partial_prior(pair):
+    """The Wang-framework CCA accepts an explicit (even partial) P — the
+    diag mask couples only the matched rows, the rest ride the shared
+    projection."""
+    data, _ = pair
+    rng = np.random.RandomState(1)
+    mask = (rng.rand(80) < 0.6).astype(np.float32)
+    emb = cca_embed(data, P=np.diag(mask), output_dim=4)
+    assert emb[0].shape == (80, 4)
+    assert _foscttm(emb) < 0.2
+
+
 def test_mmdma_runs(pair):
     data, _ = pair
     emb = mmdma_embed(data, output_dim=4, n_iters=400)
