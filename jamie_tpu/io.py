@@ -137,8 +137,17 @@ def _read_dataframe(node, columns=None):
     idx_name = node.attrs.get('_index', '_index')
     if isinstance(idx_name, bytes):
         idx_name = idx_name.decode()
-    index = (_decode(node[idx_name][()]) if idx_name in node
-             else np.arange(node.attrs.get('length', 0)))
+    if idx_name not in node and 'index' in node:
+        idx_name = 'index'      # pre-0.7 files name it without the attr
+    if idx_name in node:
+        index = _decode(node[idx_name][()])
+    else:
+        def _col_len(x):  # categorical groups: row count lives in codes
+            return len(x['codes']) if hasattr(x, 'keys') and 'codes' in x \
+                else len(x)
+        lengths = [_col_len(node[k]) for k in node.keys()
+                   if not k.startswith('__')]
+        index = np.arange(lengths[0] if lengths else 0)
     wanted = columns if columns is not None else [
         k for k in node.keys() if k != idx_name and k != '__categories']
     cols = {}

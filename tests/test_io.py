@@ -104,6 +104,32 @@ def test_read_h5ad_legacy_record_obs(tmp_path, X):
     assert list(ad.var_names) == [0, 1, 2, 3, 4]
 
 
+def test_read_h5ad_index_fallbacks(tmp_path, X):
+    """pre-0.7 group obs: index dataset named 'index' with no _index attr;
+    and a no-index group falls back to positional names sized by a
+    categorical column's codes."""
+    p = str(tmp_path / 'old.h5ad')
+    with h5py.File(p, 'w') as f:
+        f.create_dataset('X', data=X)
+        obs = f.create_group('obs')
+        obs.create_dataset('index', data=[f'c{i}'.encode() for i in range(4)])
+        obs.create_dataset('score', data=np.arange(4.0))
+    ad = read_h5ad(p)
+    assert list(ad.obs_names) == ['c0', 'c1', 'c2', 'c3']
+    assert 'index' not in ad.obs and 'score' in ad.obs
+
+    p2 = str(tmp_path / 'noindex.h5ad')
+    with h5py.File(p2, 'w') as f:
+        f.create_dataset('X', data=X)
+        obs = f.create_group('obs')
+        cat = obs.create_group('grp')
+        cat.create_dataset('categories', data=[b'a', b'b'])
+        cat.create_dataset('codes', data=[0, 1, 0, 1])
+    ad2 = read_h5ad(p2)
+    assert list(ad2.obs_names) == [0, 1, 2, 3]
+    assert list(ad2.obs['grp']) == ['a', 'b', 'a', 'b']
+
+
 def test_read_h5ad_nan_code_and_column_filter(tmp_path, X):
     p = str(tmp_path / 'a.h5ad')
     _make_h5ad(p, X)
