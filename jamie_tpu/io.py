@@ -245,6 +245,42 @@ def read_10x_h5(path: str, genome: Optional[str] = None,
     return X, barcodes, names
 
 
+def read_10x_mtx(directory: str, dense: bool = False, dtype=np.float32):
+    """Read a 10x CellRanger mtx triplet directory: matrix.mtx[.gz] +
+    features.tsv[.gz] (v3; genes.tsv in v2) + barcodes.tsv[.gz].
+
+    The mtx is genes x cells COO; returns (X cells x genes as CSR — or
+    dense when asked, barcodes, gene_names)."""
+    import gzip
+
+    from scipy import io as sio
+
+    def _find(*names):
+        for name in names:
+            for suffix in ('', '.gz'):
+                p = os.path.join(directory, name + suffix)
+                if os.path.exists(p):
+                    return p
+        raise FileNotFoundError(
+            f'none of {names} (or .gz) under {directory}')
+
+    def _open(path, mode='rt'):
+        return gzip.open(path, mode) if path.endswith('.gz') \
+            else open(path, mode.replace('t', ''))
+
+    with _open(_find('matrix.mtx'), 'rb') as fh:
+        X = sio.mmread(fh).T.tocsr()          # -> cells x genes
+    with _open(_find('barcodes.tsv')) as fh:
+        barcodes = np.array([line.split('\t')[0].strip() for line in fh])
+    with _open(_find('features.tsv', 'genes.tsv')) as fh:
+        # column 2 is the gene symbol in both v2 and v3 triplets
+        names = np.array([line.rstrip('\n').split('\t')[1]
+                          if '\t' in line else line.strip() for line in fh])
+    if dense:
+        X = X.toarray().astype(dtype, copy=False)
+    return X, barcodes, names
+
+
 def load_labels(path: str, column: Optional[str] = None) -> np.ndarray:
     """Load a per-cell label vector from .txt/.csv."""
     ext = os.path.splitext(path)[1].lower()

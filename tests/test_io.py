@@ -10,7 +10,9 @@ import pytest
 
 h5py = pytest.importorskip('h5py')
 
-from jamie_tpu.io import H5adData, load_matrix, read_10x_h5, read_h5ad
+from jamie_tpu.io import (
+    H5adData, load_matrix, read_10x_h5, read_10x_mtx, read_h5ad,
+)
 
 
 def _write_csr(parent, name, mat, fmt='csr'):
@@ -170,6 +172,27 @@ def test_read_10x_h5_v3(tmp_path, X):
     _make_10x_v3(p, X)
     mat, barcodes, names = read_10x_h5(p)
     np.testing.assert_allclose(mat, X, rtol=1e-6)   # back to cells x genes
+    assert list(barcodes) == [f'BC{i}' for i in range(4)]
+    assert list(names) == [f'gene{j}' for j in range(5)]
+
+
+def test_read_10x_mtx_triplet(tmp_path, X):
+    import gzip
+
+    from scipy import io as sio, sparse as sp
+    d = tmp_path / 'filtered_feature_bc_matrix'
+    d.mkdir()
+    coo = sp.coo_matrix(X.T)                  # genes x cells, as 10x ships
+    with gzip.open(d / 'matrix.mtx.gz', 'wb') as fh:
+        sio.mmwrite(fh, coo)
+    with gzip.open(d / 'barcodes.tsv.gz', 'wt') as fh:
+        fh.write(''.join(f'BC{i}\n' for i in range(X.shape[0])))
+    with gzip.open(d / 'features.tsv.gz', 'wt') as fh:
+        fh.write(''.join(f'ENSG{j}\tgene{j}\tGene Expression\n'
+                         for j in range(X.shape[1])))
+    mat, barcodes, names = read_10x_mtx(str(d))
+    assert mat.format == 'csr'
+    np.testing.assert_allclose(mat.toarray(), X, rtol=1e-6)
     assert list(barcodes) == [f'BC{i}' for i in range(4)]
     assert list(names) == [f'gene{j}' for j in range(5)]
 
