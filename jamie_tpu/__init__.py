@@ -20,6 +20,7 @@ from .config import JamieConfig, config_from_kwargs
 from .estimator import JAMIE
 from . import compare
 from . import io
+from . import normalize
 from . import evaluation
 from . import figures
 from . import nn_funcs
@@ -31,6 +32,7 @@ from .models import CoupledVAE, SimpleCoupledAE
 __all__ = [
     '__version__', '__reference_version__',
     'JAMIE', 'JamieConfig', 'config_from_kwargs',
-    'compare', 'evaluation', 'figures', 'nn_funcs', 'utils',
+    'compare', 'evaluation', 'figures', 'io', 'nn_funcs', 'normalize',
+    'utils',
     'PCA', 'Preprocessor', 'SparseRows', 'CoupledVAE', 'SimpleCoupledAE',
 ]
