@@ -60,7 +60,8 @@ def main_sparse_data(args):
                use_early_stop=False, batch_size=args.batch_size,
                pca_dim=(pca, pca), log_DNN=10 ** 9, epoch_chunk=20,
                corr_landmarks=min(args.landmarks, n),
-               epoch_pd=args.epoch_pd, use_mesh=args.mesh)
+               epoch_pd=args.epoch_pd,
+               use_mesh=True if args.mesh else None)   # None = auto
     t0 = time.perf_counter()
     emb = jm.fit_transform(dataset=[rna, atac])
     fit_s = time.perf_counter() - t0

@@ -190,9 +190,10 @@ def read_h5ad(path: str, layer: Optional[str] = None, dense: bool = True,
     plain columns) or the legacy record-array dataset. Everything else in
     the file (obsm/varm/uns/obsp) is ignored.
 
-    dense=False returns X as scipy CSR — feed wide sparse modalities to
-    `SparseRows.from_dense` chunkwise or densify per-chunk instead of
-    materializing atlas-scale matrices.
+    dense=False returns X as scipy CSR when the file stores it sparse
+    (files that store X dense return the ndarray either way — it is
+    already materialized); sparse X keeps its stored dtype, the pipeline
+    casts blockwise. JAMIE.fit_transform accepts both.
     """
     import h5py
     with h5py.File(path, 'r') as f:

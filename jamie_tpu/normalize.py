@@ -41,12 +41,17 @@ def library_size(x) -> np.ndarray:
 
 
 def scale_rows(x, factors):
-    """x * factors[:, None], sparse-preserving. factors: (n,) or (n, 1)."""
-    factors = np.asarray(factors, np.float64).reshape(-1)
+    """x * factors[:, None], sparse-preserving. factors: (n,) or (n, 1).
+    The result keeps x's float dtype (an f32 atlas must not silently
+    double to f64); integer counts promote to f64."""
+    out_dtype = x.dtype if np.issubdtype(x.dtype, np.floating) \
+        else np.float64
+    factors = np.asarray(factors, out_dtype).reshape(-1)
     if is_scipy_sparse(x):
         from scipy import sparse
-        return (sparse.diags(factors) @ x.tocsr()).tocsr()
-    return np.asarray(x) * factors[:, None]
+        return (sparse.diags(factors) @ x.tocsr()).astype(out_dtype,
+                                                          copy=False).tocsr()
+    return np.asarray(x, out_dtype) * factors[:, None]
 
 
 def _map_data(x, fn):

@@ -27,6 +27,14 @@ def test_cpm_rows_sum_to_target(counts):
     assert sums[0] == 0.0         # empty cell stays empty
 
 
+def test_scale_rows_preserves_f32(counts):
+    x32 = counts.astype(np.float32)
+    assert nz.cpm(x32).dtype == np.float32
+    assert nz.cpm(sparse.csr_matrix(x32)).dtype == np.float32
+    assert nz.cpm(counts).dtype == np.float64       # f64 in, f64 out
+    assert nz.cpm(counts.astype(np.int64)).dtype == np.float64
+
+
 def test_normalize_total_median(counts):
     out = nz.normalize_total(counts)
     med = np.median(np.maximum(counts.sum(1), 1.0))
