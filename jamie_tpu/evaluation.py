@@ -47,8 +47,30 @@ def _foscttm_device(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return (closer_ab + closer_ba) / (2.0 * n * n)
 
 
+@jax.jit
+def _foscttm_block(a_blk, b, diag_blk, diag, start):
+    """One row block's contribution to both FOSCTTM directions: the (bs, n)
+    distance block compared against the block's own true-match distances
+    (a->b direction) and every column's (b->a direction). The block's
+    self-pair entries are overwritten with the exact diag values so the
+    strict < never flips on the Gram trick's ~1e-6 diagonal noise (a
+    self-pair must count in neither direction)."""
+    d = _pairwise_euclidean_impl(a_blk, b, squared=True)
+    rows = jnp.arange(a_blk.shape[0])
+    d = d.at[rows, start + rows].set(diag_blk)
+    return jnp.sum(d < diag_blk[:, None]) + jnp.sum(d < diag[None, :])
+
+
+# Single-dispatch FOSCTTM up to this many N x N entries (1 GB f32); larger
+# sizes stream row blocks — exact, not subsampled, at any N.
+_FOSCTTM_BLOCK_ENTRIES = 1 << 28
+
+
 def test_closer(integrated_data, distance_metric=None):
-    """FOSCTTM (evaluation.py:65-85); device fast path by default."""
+    """FOSCTTM (evaluation.py:65-85); device fast path by default. Past
+    ~268M matrix entries the N x N never materializes: row blocks stream
+    against the full opposite modality (atlas-exact, e.g. N=100k needs
+    40 GB as one matrix but ~1 GB per block)."""
     assert len(integrated_data) == 2, 'Two datasets are supported for FOSCTTM'
     if distance_metric is not None:
         distances = distance_metric(np.concatenate(integrated_data, axis=0))
@@ -61,9 +83,20 @@ def test_closer(integrated_data, distance_metric=None):
             raw += np.sum(local < local[i])
         foscttm = raw / (2 * size ** 2)
     else:
-        foscttm = float(_foscttm_device(
-            jnp.asarray(integrated_data[0], jnp.float32),
-            jnp.asarray(integrated_data[1], jnp.float32)))
+        a = jnp.asarray(integrated_data[0], jnp.float32)
+        b = jnp.asarray(integrated_data[1], jnp.float32)
+        n = a.shape[0]
+        if n * n <= _FOSCTTM_BLOCK_ENTRIES:
+            foscttm = float(_foscttm_device(a, b))
+        else:
+            bs = max(_FOSCTTM_BLOCK_ENTRIES // n, 256)
+            diag = jnp.sum((a - b) ** 2, axis=1)
+            closer = 0
+            for s in range(0, n, bs):
+                closer += int(_foscttm_block(
+                    a[s:s + bs], b, diag[s:s + bs], diag,
+                    jnp.asarray(s, jnp.int32)))
+            foscttm = closer / (2.0 * n * n)
     print(f'foscttm: {foscttm}')
     return foscttm
 
@@ -104,13 +137,24 @@ def knn_label_transfer_accuracy(integrated_data, datatype, k: Optional[int] = No
     _, fit_labels = np.unique(np.asarray(datatype[1]), return_inverse=True)
     uniq = np.unique(np.asarray(datatype[1]))
     k = min(k, fit_x.shape[0])
+    fit_labels = jnp.asarray(fit_labels)
 
-    d = _pairwise_euclidean_impl(query, fit_x, squared=True)
-    _, nn_idx = jax.lax.top_k(-d, k)
-    votes = jnp.asarray(fit_labels)[nn_idx]                   # (Nq, k)
-    onehot = jax.nn.one_hot(votes, uniq.shape[0])
-    counts = jnp.sum(onehot, axis=1)                          # (Nq, C)
-    pred = np.asarray(jnp.argmax(counts, axis=1))
+    def _block_pred(q_blk):
+        d = _pairwise_euclidean_impl(q_blk, fit_x, squared=True)
+        _, nn_idx = jax.lax.top_k(-d, k)
+        votes = fit_labels[nn_idx]                            # (bq, k)
+        onehot = jax.nn.one_hot(votes, uniq.shape[0])
+        return jnp.argmax(jnp.sum(onehot, axis=1), axis=1)
+
+    nq, nf = query.shape[0], fit_x.shape[0]
+    if nq * nf <= _FOSCTTM_BLOCK_ENTRIES:
+        pred = np.asarray(_block_pred(query))
+    else:
+        # kNN is per-query-row: streaming row blocks is exact at atlas N
+        bs = max(_FOSCTTM_BLOCK_ENTRIES // nf, 256)
+        blocked = jax.jit(_block_pred)
+        pred = np.concatenate([np.asarray(blocked(query[s:s + bs]))
+                               for s in range(0, nq, bs)])
     pred_labels = uniq[pred]
     acc = float(np.mean(pred_labels == np.asarray(datatype[0])))
     return acc, k

@@ -27,6 +27,24 @@ def test_foscttm_aligned_near_zero(integrated):
     assert f < 0.05
 
 
+def test_foscttm_blocked_matches_single_dispatch(integrated, monkeypatch):
+    """The atlas row-blocked FOSCTTM is exact: forcing tiny blocks must
+    reproduce the single-dispatch value bit-for-bit (integer comparisons)."""
+    data, _ = integrated
+    ref = ev.test_closer(data)
+    monkeypatch.setattr(ev, '_FOSCTTM_BLOCK_ENTRIES', 80 * 7)  # ~9-row blocks
+    blocked = ev.test_closer(data)
+    assert blocked == ref
+
+
+def test_lta_blocked_matches_single_dispatch(integrated, monkeypatch):
+    data, labels = integrated
+    ref = ev.knn_label_transfer_accuracy(data, labels, k=5)
+    monkeypatch.setattr(ev, '_FOSCTTM_BLOCK_ENTRIES', 80 * 7)
+    blocked = ev.knn_label_transfer_accuracy(data, labels, k=5)
+    assert blocked == ref
+
+
 def test_foscttm_matches_reference_formula(integrated):
     data, _ = integrated
     ours = ev.test_closer(data)
