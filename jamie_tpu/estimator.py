@@ -429,25 +429,20 @@ class JAMIE:
 
     def transform(self, dataset, corr=None, pre_transformed: bool = False):
         """Re-embed both modalities with a trained model
-        (jamie/jamie.py:817-829)."""
+        (jamie/jamie.py:817-829).
+
+        The reference runs the full forward (materializing an N x N eye as
+        corr — 40 GB at 100k cells) and returns output[0], the pre-combine
+        latents. In eval mode those are exactly the mu heads (z = mu, no
+        sampling) and do not depend on corr at all, so they are computed
+        per modality directly — numerically identical, no N x N, and the
+        decoders never run. `corr` is accepted for signature parity and
+        ignored (it never influenced the returned value)."""
         assert self.model is not None, (
             'Model must be trained before transform.')
-        if corr is None:
-            if dataset[0].shape[0] == dataset[1].shape[0]:
-                corr = jnp.eye(dataset[0].shape[0], dtype=jnp.float32)
-            else:
-                corr = jnp.zeros(
-                    (dataset[0].shape[0], dataset[1].shape[0]), jnp.float32)
-        if not pre_transformed:
-            dataset = [self.preprocessors[i].transform(dataset[i])
-                       for i in range(len(dataset))]
-        xs = [jnp.asarray(d, jnp.float32) for d in dataset]
-        forward = self._jitted(
-            'forward',
-            lambda v, xs_, corr_: self.model.apply(v, xs_, corr_,
-                                                   train=False))
-        outputs = forward(self._variables(), xs, jnp.asarray(corr))
-        return [np.asarray(z) for z in outputs[0]]
+        del corr
+        return [self.transform_one(dataset[i], i, pre_transformed)
+                for i in range(len(dataset))]
 
     def transform_one(self, data, i: int, pre_transformed: bool = False):
         """Single-modality embedding via the mu head (jamie/jamie.py:831-837)."""

@@ -61,6 +61,23 @@ def test_transform_matches_training_output_shapes(fitted):
     assert one.shape == integrated[0].shape
 
 
+def test_transform_equals_full_forward_output0(fitted):
+    """transform() computes the mu heads directly; the reference instead
+    runs the full forward with an N x N eye corr and returns output[0].
+    In eval mode those are the same values — pin the equivalence that
+    justifies never materializing the eye (40 GB at 100k cells)."""
+    import jax.numpy as jnp
+
+    jm, integrated, data, labels = fitted
+    re = jm.transform(data)
+    xs = [jnp.asarray(jm.preprocessors[i].transform(data[i]), jnp.float32)
+          for i in range(2)]
+    corr = jnp.eye(xs[0].shape[0], dtype=jnp.float32)
+    outputs = jm.model.apply(jm._variables(), xs, corr, train=False)
+    for a, b in zip(re, outputs[0]):
+        np.testing.assert_allclose(a, np.asarray(b), rtol=1e-6, atol=1e-6)
+
+
 def test_save_load_roundtrip(fitted, tmp_path):
     jm, integrated, data, labels = fitted
     path = os.path.join(tmp_path, 'model.npz')
