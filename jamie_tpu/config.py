@@ -118,6 +118,14 @@ class JamieConfig:
     # on real scGEM). 'float32' forces 6-pass exact-f32 matmuls.
     solver_dtype: str = 'bfloat16'
     epoch_chunk: int = 100            # epochs per scan-compiled chunk
+    # Chunks kept in flight past the one being read back: the host fetches
+    # chunk k's (tiny) loss outputs while the device already runs k+1..k+1+L,
+    # hiding the per-chunk device->host round-trip (a ~0.35 s tunnel latency
+    # on axon) behind compute. Post-stop epochs are lax.cond no-ops on
+    # device, so the <= L chunks dispatched after an early stop cost ~0.
+    # 0 = fully sequential (also forced whenever checkpoint_every is set,
+    # because mid-fit snapshots need the state at the processed boundary).
+    dispatch_lookahead: int = 3
     mesh_shape: Optional[Tuple[int, ...]] = None   # None -> all devices on 'data'
     mesh_axis_names: Tuple[str, ...] = ('data',)
     true_ratio: float = 0.8           # hybrid-sampling corr fraction (jamie.py:529)

@@ -24,6 +24,7 @@ from __future__ import annotations
 import contextlib
 import time
 import warnings
+from collections import deque
 from typing import Any, Dict, List, Optional, Sequence
 
 import flax
@@ -558,15 +559,42 @@ class JamieTrainer:
         self.epochs_run = 0
         t0 = time.perf_counter()
 
-        epoch = int(state.epoch)
-        while epoch < cfg.epoch_DNN:
-            chunk = min(cfg.epoch_chunk, cfg.epoch_DNN - epoch)
-            state, (ep_losses, loss_mat, stops, ran) = \
-                self._chunk_fn(chunk)(state)
+        # Pipelined dispatch: jitted chunk calls are async — the blocking
+        # step is the host readback of each chunk's (tiny) loss outputs,
+        # a full device->host round-trip (~0.35 s through the axon tunnel)
+        # that would otherwise serialize with compute. Keep up to
+        # `dispatch_lookahead` chunks in flight beyond the one being read
+        # back: the device runs ahead while the host waits on the fetch.
+        # Early stop stays exact — the chunk body's lax.cond makes every
+        # post-stop epoch a device no-op (`valid` False, state unchanged),
+        # so the <= lookahead extra chunks dispatched before the host sees
+        # the stop flag contribute nothing. Mid-fit checkpointing forces
+        # sequential dispatch: a snapshot needs the state AT the processed
+        # boundary, and pipelining only ever holds the frontier state (the
+        # intermediate ones are donated away).
+        lookahead = (0 if (checkpoint_dir and checkpoint_every)
+                     else max(int(cfg.dispatch_lookahead), 0))
+        inflight: deque = deque()
+        dispatched = int(state.epoch)
+        stop_seen = False
+        while inflight or (dispatched < cfg.epoch_DNN and not stop_seen):
+            while (dispatched < cfg.epoch_DNN and not stop_seen
+                   and len(inflight) <= lookahead):
+                chunk = min(cfg.epoch_chunk, cfg.epoch_DNN - dispatched)
+                state, outs = self._chunk_fn(chunk)(state)
+                inflight.append((dispatched, chunk, outs))
+                dispatched += chunk
+            epoch, chunk, (ep_losses, loss_mat, stops, ran) = \
+                inflight.popleft()
             ep_losses = np.asarray(ep_losses)
             loss_mat = np.asarray(loss_mat)
             stops = np.asarray(stops)
             valid = np.asarray(ran)
+            if stop_seen and not valid.any():
+                # A chunk dispatched before the host saw the stop flag: every
+                # epoch was a device no-op. Drop it — history, logging, and
+                # the metrics JSONL stay identical to sequential dispatch.
+                continue
 
             if cfg.record_loss:
                 for j, name in enumerate(LOSS_NAMES):
@@ -614,7 +642,7 @@ class JamieTrainer:
                     f'{checkpoint_dir}/epoch_{epoch}', state)
                 last_ckpt_epoch = epoch
             if bool(stops[-1]):
-                break
+                stop_seen = True
 
         if metrics_f is not None:
             metrics_f.close()

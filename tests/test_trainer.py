@@ -171,3 +171,55 @@ def test_clip_adam_matches_optax_chain():
         p_new = optax.apply_updates(p_new, u2)
     for k in params:
         np.testing.assert_allclose(p_ref[k], p_new[k], rtol=1e-6, atol=1e-7)
+
+
+def test_pipelined_dispatch_matches_sequential():
+    """dispatch_lookahead hides the per-chunk readback round-trip; it must
+    not change a single recorded number. Run the same fit sequential
+    (lookahead 0) and pipelined (lookahead 3) and pin loss history,
+    epoch losses, epochs_run, and final params bit-for-bit."""
+    runs = {}
+    for la in (0, 3):
+        trainer, _ = _make_trainer(epoch_DNN=40, epoch_chunk=10,
+                                   dispatch_lookahead=la)
+        state = trainer.fit(seed=0)
+        runs[la] = (list(trainer.epoch_losses),
+                    {k: list(v) for k, v in trainer.loss_history.items()},
+                    trainer.epochs_run, state)
+    assert runs[0][0] == runs[3][0]
+    assert runs[0][1] == runs[3][1]
+    assert runs[0][2] == runs[3][2] == 40
+    import jax
+    for a, b in zip(jax.tree.leaves(runs[0][3].params),
+                    jax.tree.leaves(runs[3][3].params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pipelined_dispatch_early_stop_matches_sequential():
+    """An early stop discovered one chunk late must not leak the drained
+    no-op chunks into history: pipelined and sequential fits stop at the
+    same epoch with identical recorded losses."""
+    kw = dict(epoch_DNN=200, min_epochs=5, use_early_stop=True,
+              max_steps_without_increment=3, min_increment=1e10,
+              epoch_chunk=10)
+    out = {}
+    for la in (0, 3):
+        trainer, _ = _make_trainer(dispatch_lookahead=la, **kw)
+        state = trainer.fit(seed=0)
+        out[la] = (list(trainer.epoch_losses), trainer.epochs_run,
+                   bool(state.stopped), int(state.epoch))
+    assert out[0] == out[3]
+    assert out[0][1] < 40 and out[0][2]
+
+
+def test_checkpointing_forces_sequential_dispatch(tmp_path):
+    """checkpoint_every needs the state at each processed boundary, which
+    pipelining donates away — snapshots must land at exact epochs and
+    restore to the same continuation regardless of dispatch_lookahead."""
+    trainer, _ = _make_trainer(epoch_DNN=30, epoch_chunk=10,
+                               dispatch_lookahead=3)
+    trainer.fit(seed=0, checkpoint_dir=str(tmp_path / 'ck'),
+                checkpoint_every=10)
+    import os
+    snaps = sorted(os.listdir(tmp_path / 'ck'))
+    assert snaps == ['epoch_10', 'epoch_20', 'epoch_30']
