@@ -281,6 +281,7 @@ class JamieTrainer:
             self._batch_sharding = None
         self._compute_dtype = cdtype
         self._chunk_fn_cache: Dict[int, Any] = {}
+        self._p_diag_mask_dev = None   # lazy one-time device upload
 
     # ------------------------------------------------------------------ init
     @contextlib.contextmanager
@@ -357,9 +358,14 @@ class JamieTrainer:
         constants — defeating the compilation cache across datasets and
         forcing device->host constant fetches at lowering time."""
         dummy = jnp.zeros((1, 1), jnp.float32)
-        mask = (jnp.asarray(self._p_diag_mask)
+        if self._p_diag_mask_dev is None:
+            # Upload the (N,) mask once — jnp.asarray of a host np array
+            # re-transfers on every chunk dispatch (100+ per fit).
+            self._p_diag_mask_dev = (
+                jnp.asarray(self._p_diag_mask)
                 if self._p_diag_mask is not None
                 else jnp.zeros((1,), jnp.float32))
+        mask = self._p_diag_mask_dev
 
         return (self.data[0], self.data[1],
                 dummy if self.P is None else self.P,
