@@ -25,7 +25,7 @@ from .ops.distances import _pairwise_euclidean_impl, pairwise_distance
 __all__ = [
     'test_partial', 'test_closer', 'test_label_dist', 'test_LabelTA',
     'knn_label_transfer_accuracy', 'evaluate_impact',
-    'occlusion_impact_device', 'shap_explain',
+    'occlusion_impact_device', 'shap_explain', 'kernel_shap',
     'plot_regular', 'plot_integrated', 'plot_accuracy',
     'plot_accuracy_table', 'plot_accuracy_graph', 'plot_silhouette',
     'plot_auroc', 'plot_correlation', 'plot_auroc_correlation',
@@ -373,19 +373,134 @@ def occlusion_impact_device(estimator, in_data, true, modality: int = 0,
     return baseline, baseline - occluded_r, testing_idx
 
 
+def _shapley_kernel_sizes(n_feat: int, n_coalitions: int, rng):
+    """Draw coalition sizes k in [1, n_feat-1] from the Shapley kernel
+    distribution p(k) proportional to (n_feat - 1) / (k (n_feat - k)) —
+    the size marginal of Lundberg & Lee's pi(z). The empty and full
+    coalitions carry infinite weight and are handled exactly by the
+    efficiency-constraint substitution, not sampled."""
+    k = np.arange(1, n_feat)
+    p = (n_feat - 1) / (k * (n_feat - k))
+    p /= p.sum()
+    return rng.choice(k, size=n_coalitions, p=p)
+
+
+@jax.jit
+def _kernel_shap_solve(Z, w, Y, total):
+    """Weighted least squares with the efficiency constraint eliminated.
+
+    Z: (S, F) 0/1 coalition matrix, w: (S,) Shapley kernel weights,
+    Y: (S, B) centered model outputs f(masked) - f(background) for B
+    explained (sample, output) columns, total: (B,) f(x) - f(background).
+    Substituting phi_F = total - sum_{j<F} phi_j turns the constrained
+    regression into an unconstrained one over the first F-1 features;
+    ONE (F-1, F-1) solve serves every column because the coalition design
+    is shared. Returns (F, B)."""
+    A = Z[:, :-1] - Z[:, -1:]                      # (S, F-1)
+    y = Y - Z[:, -1:] * total[None, :]             # (S, B)
+    Aw = A * w[:, None]
+    G = A.T @ Aw                                   # (F-1, F-1)
+    G = G + 1e-8 * jnp.trace(G) / A.shape[1] * jnp.eye(A.shape[1])
+    phi_head = jnp.linalg.solve(G, Aw.T @ y)       # (F-1, B)
+    phi_last = total[None, :] - jnp.sum(phi_head, axis=0, keepdims=True)
+    return jnp.concatenate([phi_head, phi_last], axis=0)
+
+
+def kernel_shap(predict_fn, data, explain=None, background=None,
+                n_coalitions: int = 512, features=None, seed: int = 0,
+                batch_rows: int = 65536):
+    """TPU-native KernelSHAP (Lundberg & Lee 2017) for a batched black-box
+    `predict_fn` — the native replacement for the reference notebooks'
+    `shap.Explainer(lambda x: model.modal_predict(x, m), data)` usage
+    (scMNC-Visual.ipynb cells 35-42), with no external dependency.
+
+    One coalition design (S, F) is shared by every explained row, so the
+    whole job is two MXU-shaped passes: a single batched model evaluation
+    over all masked inputs (streamed in `batch_rows` chunks), then ONE
+    (F-1, F-1) weighted least-squares solve whose RHS stacks every
+    (explained row, output) column. The empty/full coalitions are not
+    sampled: the efficiency constraint sum(phi) = f(x) - f(background) is
+    enforced exactly by substitution. For a linear model this recovers
+    (x - background) * W exactly (pinned by test).
+
+    predict_fn: maps (n, F_in) raw inputs to (n, D) outputs — e.g.
+        ``lambda x: jm.modal_predict(x, modality)``.
+    data: (N, F_in) raw inputs; also the default background source.
+    explain: row indices to explain (default: all rows).
+    background: (F_in,) reference vector; default data.mean(axis=0) —
+        the same convention as `evaluate_impact`'s occlusion background.
+    features: optional indices — attribute only these, holding the rest
+        at their true values (coalition play is over the subset; the
+        efficiency total becomes f(x) - f(x with subset backgrounded)).
+        The way to keep SHAP tractable on very wide modalities.
+    Returns (phi, base): phi (n_explained, F_sel, D) attributions,
+    base (n_explained, D) = f(x with selected features backgrounded).
+    """
+    data = np.asarray(data, np.float32)
+    n, f_in = data.shape
+    idx = np.arange(n) if explain is None else np.asarray(explain)
+    bg = (data.mean(axis=0) if background is None
+          else np.asarray(background, np.float32))
+    sel = (np.arange(f_in) if features is None
+           else np.asarray(features, np.int64))
+    f_sel = sel.shape[0]
+    assert f_sel >= 2, 'kernel_shap needs at least 2 features in play'
+    rng = np.random.RandomState(seed)
+
+    S = int(n_coalitions)
+    sizes = _shapley_kernel_sizes(f_sel, S, rng)
+    Z = np.zeros((S, f_sel), np.float32)
+    for s in range(S):
+        Z[s, rng.choice(f_sel, size=sizes[s], replace=False)] = 1.0
+    k = Z.sum(axis=1)
+    w = ((f_sel - 1) / (k * (f_sel - k))).astype(np.float32)
+
+    # Masked inputs for every (explained row, coalition) pair: selected
+    # features follow the coalition, everything else stays at x.
+    x = data[idx]                                   # (E, F_in)
+    E = x.shape[0]
+    x_sel = x[:, sel]                               # (E, F_sel)
+    bg_sel = bg[sel][None, None, :]
+    masked_sel = Z[None] * x_sel[:, None, :] + (1.0 - Z[None]) * bg_sel
+    masked = np.broadcast_to(x[:, None, :], (E, S, f_in)).copy()
+    masked = masked.reshape(E * S, f_in)
+    masked[:, sel] = masked_sel.reshape(E * S, f_sel)
+
+    # x with the whole subset backgrounded (the phi baseline) and x itself
+    x_base = x.copy(); x_base[:, sel] = bg[sel]
+    ends = np.concatenate([x, x_base], axis=0)
+
+    def _eval(m):
+        outs = [np.asarray(predict_fn(m[s:s + batch_rows]))
+                for s in range(0, m.shape[0], batch_rows)]
+        return np.concatenate(outs, axis=0)
+
+    y_ends = _eval(ends)
+    d_out = y_ends.shape[1]
+    fx, f_base = y_ends[:E], y_ends[E:]             # (E, D) each
+    y = _eval(masked).reshape(E, S, d_out)
+
+    Y = jnp.asarray((y - f_base[:, None, :]).transpose(1, 0, 2)
+                    .reshape(S, E * d_out))
+    total = jnp.asarray((fx - f_base).reshape(E * d_out))
+    phi = _kernel_shap_solve(jnp.asarray(Z), jnp.asarray(w), Y, total)
+    phi = np.asarray(phi).reshape(f_sel, E, d_out).transpose(1, 0, 2)
+    return phi, f_base
+
+
 def shap_explain(estimator, data, modality: int = 0, max_evals=500,
                  **kwargs):
     """SHAP explanation through modal_predict, as the reference notebooks do
     (scMNC-Visual.ipynb cells 35-42). The shap package is an optional extra;
-    without it, use `occlusion_impact_device` (same question, occlusion
-    formulation, runs on device)."""
+    without it this falls back to the native `kernel_shap` (same estimand,
+    runs the masked evaluations batched on device)."""
     try:
         import shap
-    except ImportError as e:
-        raise ImportError(
-            'shap is not installed in this environment; use '
-            'jamie_tpu.evaluation.occlusion_impact_device for on-device '
-            'occlusion importance instead.') from e
+    except ImportError:
+        phi, base = kernel_shap(
+            lambda x: estimator.modal_predict(x, modality), data,
+            n_coalitions=max_evals, **kwargs)
+        return phi
     explainer = shap.Explainer(
         lambda x: estimator.modal_predict(x, modality), data, **kwargs)
     return explainer(data, max_evals=max_evals)

@@ -1,0 +1,99 @@
+"""Native KernelSHAP (evaluation.kernel_shap): exactness on linear models,
+the efficiency property, feature subsetting, and the estimator path the
+reference notebooks drive through shap.Explainer (scMNC-Visual.ipynb
+cells 35-42)."""
+
+import numpy as np
+import pytest
+
+from jamie_tpu.evaluation import kernel_shap, shap_explain
+
+
+def _linear(W, c):
+    return lambda x: np.asarray(x) @ W + c
+
+
+def test_linear_model_exact():
+    """For f(x) = xW + c, SHAP values are exactly (x_i - bg_i) * W_ij —
+    kernel regression on a linear response recovers the coefficients
+    regardless of which coalitions were sampled."""
+    rng = np.random.RandomState(0)
+    F, D, N = 8, 3, 20
+    W = rng.randn(F, D).astype(np.float32)
+    data = rng.randn(N, F).astype(np.float32)
+    phi, base = kernel_shap(_linear(W, 1.5), data, n_coalitions=256, seed=1)
+    assert phi.shape == (N, F, D)
+    bg = data.mean(axis=0)
+    expected = (data - bg)[:, :, None] * W[None, :, :]
+    np.testing.assert_allclose(phi, expected, rtol=1e-3, atol=1e-3)
+
+
+def test_efficiency_holds_for_nonlinear_model():
+    """sum_i phi_i == f(x) - f(background) exactly (by substitution), even
+    when the model has interactions the linear surrogate cannot fit."""
+    rng = np.random.RandomState(2)
+    F, N = 6, 12
+    data = rng.rand(N, F).astype(np.float32)
+
+    def f(x):
+        x = np.asarray(x)
+        return np.stack([np.sin(x[:, 0]) * x[:, 1] + x[:, 2:].sum(axis=1),
+                         (x ** 2).sum(axis=1)], axis=1)
+
+    phi, base = kernel_shap(f, data, n_coalitions=200, seed=3)
+    totals = f(data) - base
+    np.testing.assert_allclose(phi.sum(axis=1), totals, rtol=1e-4, atol=1e-4)
+
+
+def test_feature_subset_conditions_on_rest():
+    """With features=, non-selected features stay at their true values:
+    for a linear model the attributions over the subset are unchanged and
+    the baseline is f(x with only the subset backgrounded)."""
+    rng = np.random.RandomState(4)
+    F, D, N = 10, 2, 8
+    W = rng.randn(F, D).astype(np.float32)
+    data = rng.randn(N, F).astype(np.float32)
+    sub = np.array([1, 4, 7])
+    phi, base = kernel_shap(_linear(W, 0.0), data, features=sub,
+                            n_coalitions=128, seed=5)
+    assert phi.shape == (N, 3, D)
+    bg = data.mean(axis=0)
+    expected = (data[:, sub] - bg[sub])[:, :, None] * W[sub][None, :, :]
+    np.testing.assert_allclose(phi, expected, rtol=1e-3, atol=1e-3)
+    x_base = data.copy()
+    x_base[:, sub] = bg[sub]
+    np.testing.assert_allclose(base, x_base @ W, rtol=1e-4, atol=1e-4)
+
+
+def test_explain_subset_of_rows():
+    rng = np.random.RandomState(6)
+    W = rng.randn(5, 2).astype(np.float32)
+    data = rng.randn(30, 5).astype(np.float32)
+    rows = np.array([3, 17])
+    phi, base = kernel_shap(_linear(W, 0.0), data, explain=rows,
+                            n_coalitions=96, seed=7)
+    assert phi.shape == (2, 5, 2)
+    bg = data.mean(axis=0)
+    expected = (data[rows] - bg)[:, :, None] * W[None]
+    np.testing.assert_allclose(phi, expected, rtol=1e-3, atol=1e-3)
+
+
+def test_shap_explain_through_estimator(synthetic_pair):
+    """shap_explain falls back to the native kernel_shap when the shap
+    package is absent (it is, in this image) and attributes modal_predict
+    through the whole preclass + model stack."""
+    from jamie_tpu import JAMIE
+    data, _labels = synthetic_pair
+    jm = JAMIE(epoch_DNN=200, min_epochs=50, epoch_chunk=50, log_DNN=10_000,
+               batch_size=64, pca_dim=None, distance_mode='euclidean',
+               epoch_pd=100, use_early_stop=False, dropout=0.0)
+    jm.fit_transform(dataset=data)
+    phi = shap_explain(jm, data[0][:6], modality=0, max_evals=96)
+    assert phi.shape == (6, data[0].shape[1], data[1].shape[1])
+    assert np.isfinite(phi).all()
+    # efficiency against a direct modal_predict call
+    pred = jm.modal_predict(data[0][:6], 0)
+    bg = np.tile(data[0][:6].mean(axis=0), (6, 1))
+    base = jm.modal_predict(bg, 0)
+    np.testing.assert_allclose(phi.sum(axis=1), pred - base,
+                               rtol=1e-3, atol=1e-3)
