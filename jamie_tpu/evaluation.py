@@ -31,6 +31,7 @@ __all__ = [
     'plot_auroc', 'plot_correlation', 'plot_auroc_correlation',
     'plot_sample', 'plot_distribution', 'plot_distribution_alone',
     'plot_distribution_similarity', 'plot_impact',
+    'plot_shap_summary', 'plot_shap_waterfall',
 ]
 
 
@@ -513,5 +514,6 @@ from .figures import (  # noqa: E402,F401
     plot_accuracy, plot_accuracy_graph, plot_accuracy_table, plot_auroc,
     plot_auroc_correlation, plot_correlation, plot_distribution,
     plot_distribution_alone, plot_distribution_similarity, plot_impact,
+    plot_shap_summary, plot_shap_waterfall,
     plot_integrated, plot_regular, plot_sample, plot_silhouette,
 )

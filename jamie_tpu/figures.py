@@ -30,6 +30,7 @@ __all__ = [
     'plot_auroc', 'plot_correlation', 'plot_auroc_correlation',
     'plot_sample', 'plot_distribution', 'plot_distribution_alone',
     'plot_distribution_similarity', 'plot_impact',
+    'plot_shap_summary', 'plot_shap_waterfall',
 ]
 
 
@@ -694,3 +695,78 @@ def plot_impact(values, fnames, baseline, ylabel='LTA', max_features=None,
     if values.min() < 0:
         plt.axhline(y=0, color='black')
     plt.xticks(rotation=80)
+
+
+def plot_shap_summary(phi, data, feature_names=None, max_features=15,
+                      output_index=None, ax=None, seed=0):
+    """Beeswarm-style SHAP summary (the native stand-in for the reference
+    notebooks' shap.summary_plot, scMNC-Visual.ipynb explanation cells):
+    one row per feature (top `max_features` by mean |phi|), horizontal
+    jittered scatter of per-sample attributions, colored by the feature's
+    (min-max normalized) value.
+
+    phi: (n, F, D) attributions from `evaluation.kernel_shap` (or (n, F));
+    data: (n, F) raw inputs the attributions were computed on;
+    output_index: which output column to show (default: mean over outputs).
+    """
+    import matplotlib.pyplot as plt
+    phi = np.asarray(phi)
+    if phi.ndim == 3:
+        phi = (phi.mean(axis=2) if output_index is None
+               else phi[:, :, output_index])
+    data = np.asarray(data)
+    names = (np.asarray(feature_names) if feature_names is not None
+             else np.array([f'f{j}' for j in range(phi.shape[1])]))
+    order = np.argsort(np.abs(phi).mean(axis=0))[::-1][:max_features]
+    rng = np.random.RandomState(seed)
+    if ax is None:
+        ax = plt.gcf().add_subplot(1, 1, 1)
+    for row, j in enumerate(order[::-1]):
+        v = data[:, j]
+        lo, hi = v.min(), v.max()
+        c = (v - lo) / (hi - lo) if hi > lo else np.full_like(v, 0.5)
+        ax.scatter(phi[:, j], row + 0.12 * rng.randn(phi.shape[0]),
+                   c=c, cmap='coolwarm', s=14, linewidths=0, alpha=0.8)
+    ax.axvline(0, color='gray', linewidth=1)
+    ax.set_yticks(range(len(order)))
+    ax.set_yticklabels([str(names[j]) for j in order[::-1]])
+    ax.set_xlabel('SHAP value (impact on model output)')
+    return ax
+
+
+def plot_shap_waterfall(phi_row, base, feature_names=None, max_features=10,
+                        output_index=0, ax=None):
+    """Waterfall for ONE explained sample (stand-in for
+    shap.plots.waterfall): the largest-|phi| features step from the base
+    value to the model output, remaining features collapsed into one bar.
+
+    phi_row: (F,) or (F, D) attributions for one sample;
+    base: scalar (or (D,)) baseline model output for that sample.
+    """
+    import matplotlib.pyplot as plt
+    phi_row = np.asarray(phi_row)
+    if phi_row.ndim == 2:
+        phi_row = phi_row[:, output_index]
+    base = np.asarray(base).reshape(-1)
+    base = float(base[output_index] if base.size > 1 else base[0])
+    names = (np.asarray(feature_names) if feature_names is not None
+             else np.array([f'f{j}' for j in range(phi_row.shape[0])]))
+    order = np.argsort(np.abs(phi_row))[::-1]
+    head, rest = order[:max_features], order[max_features:]
+    vals = list(phi_row[head])
+    labels = [str(names[j]) for j in head]
+    if rest.size:
+        vals.append(float(phi_row[rest].sum()))
+        labels.append(f'{rest.size} other features')
+    if ax is None:
+        ax = plt.gcf().add_subplot(1, 1, 1)
+    cum = base
+    for row, (v, lab) in enumerate(zip(vals, labels)):
+        ax.barh(len(vals) - 1 - row, v, left=cum,
+                color='#d62728' if v >= 0 else '#1f77b4', height=0.7)
+        cum += v
+    ax.axvline(base, color='gray', linewidth=1, linestyle='--')
+    ax.set_yticks(range(len(vals)))
+    ax.set_yticklabels(labels[::-1])
+    ax.set_xlabel(f'model output (base {base:.3f} -> {cum:.3f})')
+    return ax

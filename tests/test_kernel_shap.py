@@ -97,3 +97,21 @@ def test_shap_explain_through_estimator(synthetic_pair):
     base = jm.modal_predict(bg, 0)
     np.testing.assert_allclose(phi.sum(axis=1), pred - base,
                                rtol=1e-3, atol=1e-3)
+
+
+def test_shap_plots_smoke():
+    """Summary beeswarm + waterfall render from kernel_shap output."""
+    import matplotlib
+    matplotlib.use('Agg')
+    import matplotlib.pyplot as plt
+    from jamie_tpu.figures import plot_shap_summary, plot_shap_waterfall
+
+    rng = np.random.RandomState(8)
+    W = rng.randn(12, 3).astype(np.float32)
+    data = rng.randn(25, 12).astype(np.float32)
+    phi, base = kernel_shap(_linear(W, 0.5), data, n_coalitions=128, seed=9)
+    plt.figure()
+    plot_shap_summary(phi, data, max_features=8)
+    plt.figure()
+    plot_shap_waterfall(phi[0], base[0], max_features=5, output_index=1)
+    plt.close('all')
