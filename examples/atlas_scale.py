@@ -45,12 +45,12 @@ def main_sparse_data(args):
 
     from jamie_tpu import JAMIE
     from jamie_tpu.core.timing import device_memory_stats
-    from jamie_tpu.evaluation import test_closer
+    from jamie_tpu.evaluation import knn_label_transfer_accuracy, test_closer
     try:
-        from synth import synthesize_sparse_pair
+        from synth import synthesize_sparse_labels, synthesize_sparse_pair
     except ImportError:
         sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-        from synth import synthesize_sparse_pair
+        from synth import synthesize_sparse_labels, synthesize_sparse_pair
 
     n = args.cells
     rna, atac = synthesize_sparse_pair(n, *args.features, density=0.03,
@@ -68,6 +68,8 @@ def main_sparse_data(args):
 
     t1 = time.perf_counter()
     f = test_closer(emb)     # exact at any N: row-blocked device FOSCTTM
+    labels = synthesize_sparse_labels(n, seed=0)   # the latent's clusters
+    lta, k = knn_label_transfer_accuracy(emb, [labels, labels])
     print(json.dumps({
         'cells': n,
         'features': list(args.features),
@@ -77,7 +79,9 @@ def main_sparse_data(args):
         'fit_seconds': round(fit_s, 1),
         'phase_seconds': getattr(jm, 'phase_timings', None),
         'foscttm_exact': round(float(f), 6),
-        'foscttm_seconds': round(time.perf_counter() - t1, 1),
+        'label_transfer_acc': round(float(lta), 4),
+        'label_transfer_k': int(k),
+        'metric_seconds': round(time.perf_counter() - t1, 1),
         'hbm': device_memory_stats(),
     }))
 

@@ -58,6 +58,27 @@ def synthesize(shape0, shape1, seed=0, latent=32):
     return data
 
 
+def _sparse_latent(n, seed, latent):
+    """The shared clustered latent behind synthesize_sparse_pair, plus the
+    cluster assignments. The draw ORDER is load-bearing: z, then centers,
+    then assignments, then (in the pair generator) per-modality weights —
+    so labels can be re-derived for a cached pair without regenerating the
+    matrices."""
+    rng = np.random.default_rng(seed)
+    z = rng.standard_normal((n, latent), dtype=np.float32)
+    centers = 2.0 * rng.standard_normal((12, latent), dtype=np.float32)
+    assign = rng.integers(0, 12, n)
+    z += centers[assign]
+    return z, assign, rng
+
+
+def synthesize_sparse_labels(n, seed=0, latent=24):
+    """Cluster labels of the synthesize_sparse_pair latent (same rng draw
+    order, stopping before the weight draws) — exact label-transfer scoring
+    for cached atlas pairs, no matrix regeneration."""
+    return _sparse_latent(n, seed, latent)[1]
+
+
 def synthesize_sparse_pair(n, d0, d1, density=0.03, seed=0, latent=24):
     """Counts-like sparse CSR modality pair over a shared clustered latent
     (the 10x-multiome shape class: tall, nonnegative, a few % nonzero).
@@ -73,10 +94,7 @@ def synthesize_sparse_pair(n, d0, d1, density=0.03, seed=0, latent=24):
     if all(os.path.exists(p) for p in paths):
         return [sparse.load_npz(p) for p in paths]
 
-    rng = np.random.default_rng(seed)
-    z = rng.standard_normal((n, latent), dtype=np.float32)
-    centers = 2.0 * rng.standard_normal((12, latent), dtype=np.float32)
-    z += centers[rng.integers(0, 12, n)]
+    z, _assign, rng = _sparse_latent(n, seed, latent)
 
     def one(d):
         w = rng.standard_normal((latent, d), dtype=np.float32)

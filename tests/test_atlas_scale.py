@@ -142,3 +142,25 @@ def test_unaligned_atlas_P_never_densifies(monkeypatch):
     assert isinstance(jm.P, SparseRows) and jm.P.shape == (24, 18)
     assert jm.trainer.sampling_method == 'zeros'
     assert out[0].shape == (24, jm.config.output_dim)
+
+
+def test_sparse_synth_labels_align_with_pair(tmp_path, monkeypatch):
+    """synthesize_sparse_labels re-derives the cluster assignments the pair
+    generator drew (same rng sequence, stopping before the weight draws):
+    rows sharing a label must be markedly closer in both modalities than
+    rows across labels — and the derivation must not touch the pair cache."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..',
+                                    'examples'))
+    import synth
+    monkeypatch.setattr(synth, 'SYNTH_CACHE', str(tmp_path))
+    m0, m1 = synth.synthesize_sparse_pair(300, 80, 60, density=0.2, seed=5)
+    labels = synth.synthesize_sparse_labels(300, seed=5)
+    assert labels.shape == (300,) and set(labels) <= set(range(12))
+    for m in (m0, m1):
+        x = np.asarray(m.todense(), np.float32)
+        cent = np.stack([x[labels == c].mean(axis=0)
+                         for c in np.unique(labels)])
+        d = ((x[:, None, :] - cent[None]) ** 2).sum(-1)
+        own = d[np.arange(300), np.searchsorted(np.unique(labels), labels)]
+        assert (own <= d.min(axis=1) + 1e-4).mean() > 0.95
