@@ -25,7 +25,7 @@ from .ops.distances import _pairwise_euclidean_impl, pairwise_distance
 __all__ = [
     'test_partial', 'test_closer', 'test_label_dist', 'test_LabelTA',
     'knn_label_transfer_accuracy', 'evaluate_impact',
-    'occlusion_impact_device', 'shap_explain', 'kernel_shap',
+    'occlusion_impact_device', 'shap_explain', 'kernel_shap', 'ShapValues',
     'plot_regular', 'plot_integrated', 'plot_accuracy',
     'plot_accuracy_table', 'plot_accuracy_graph', 'plot_silhouette',
     'plot_auroc', 'plot_correlation', 'plot_auroc_correlation',
@@ -430,10 +430,12 @@ def kernel_shap(predict_fn, data, explain=None, background=None,
     explain: row indices to explain (default: all rows).
     background: (F_in,) reference vector; default data.mean(axis=0) —
         the same convention as `evaluate_impact`'s occlusion background.
-    features: optional indices — attribute only these, holding the rest
-        at their true values (coalition play is over the subset; the
-        efficiency total becomes f(x) - f(x with subset backgrounded)).
-        The way to keep SHAP tractable on very wide modalities.
+    features: optional indices OR boolean mask — attribute only these,
+        holding the rest at their true values (coalition play is over the
+        subset; the efficiency total becomes f(x) - f(x with subset
+        backgrounded)). The way to keep SHAP tractable on very wide
+        modalities. Peak host memory is one (batch_rows, F_in) slab —
+        masked inputs are built per eval batch, never all at once.
     Returns (phi, base): phi (n_explained, F_sel, D) attributions,
     base (n_explained, D) = f(x with selected features backgrounded).
     """
@@ -442,13 +444,26 @@ def kernel_shap(predict_fn, data, explain=None, background=None,
     idx = np.arange(n) if explain is None else np.asarray(explain)
     bg = (data.mean(axis=0) if background is None
           else np.asarray(background, np.float32))
-    sel = (np.arange(f_in) if features is None
-           else np.asarray(features, np.int64))
+    if features is None:
+        sel = np.arange(f_in)
+    else:
+        features = np.asarray(features)
+        sel = (np.flatnonzero(features) if features.dtype == np.bool_
+               else features.astype(np.int64))
     f_sel = sel.shape[0]
     assert f_sel >= 2, 'kernel_shap needs at least 2 features in play'
+    S = int(n_coalitions)
+    if S < f_sel + 2:
+        # F-1 regression unknowns: fewer rows than that is rank-deficient
+        # and the ridge would return an arbitrary solution that still sums
+        # to the right total — confidently wrong. (shap errors at the same
+        # place: max_evals < 2F+2.) Scope with features= or raise the budget.
+        raise ValueError(
+            f'n_coalitions={S} cannot identify {f_sel} features; need at '
+            f'least f_sel+2={f_sel + 2} (2*f_sel+2 recommended). Pass more '
+            f'coalitions or scope the game with features=.')
     rng = np.random.RandomState(seed)
 
-    S = int(n_coalitions)
     sizes = _shapley_kernel_sizes(f_sel, S, rng)
     Z = np.zeros((S, f_sel), np.float32)
     for s in range(S):
@@ -456,16 +471,9 @@ def kernel_shap(predict_fn, data, explain=None, background=None,
     k = Z.sum(axis=1)
     w = ((f_sel - 1) / (k * (f_sel - k))).astype(np.float32)
 
-    # Masked inputs for every (explained row, coalition) pair: selected
-    # features follow the coalition, everything else stays at x.
     x = data[idx]                                   # (E, F_in)
     E = x.shape[0]
     x_sel = x[:, sel]                               # (E, F_sel)
-    bg_sel = bg[sel][None, None, :]
-    masked_sel = Z[None] * x_sel[:, None, :] + (1.0 - Z[None]) * bg_sel
-    masked = np.broadcast_to(x[:, None, :], (E, S, f_in)).copy()
-    masked = masked.reshape(E * S, f_in)
-    masked[:, sel] = masked_sel.reshape(E * S, f_sel)
 
     # x with the whole subset backgrounded (the phi baseline) and x itself
     x_base = x.copy(); x_base[:, sel] = bg[sel]
@@ -476,10 +484,25 @@ def kernel_shap(predict_fn, data, explain=None, background=None,
                 for s in range(0, m.shape[0], batch_rows)]
         return np.concatenate(outs, axis=0)
 
+    def _eval_masked():
+        """Masked inputs for every (explained row, coalition) pair —
+        selected features follow the coalition, everything else stays at
+        x — built ONE batch_rows slab at a time: the full (E*S, F_in)
+        matrix would be ~150 GB at notebook scale."""
+        outs = []
+        for start in range(0, E * S, batch_rows):
+            r = np.arange(start, min(start + batch_rows, E * S))
+            i, c = r // S, r % S                    # explained row, coalition
+            slab = x[i]                             # copy via fancy index
+            slab[:, sel] = (Z[c] * x_sel[i]
+                            + (1.0 - Z[c]) * bg[sel][None, :])
+            outs.append(np.asarray(predict_fn(slab)))
+        return np.concatenate(outs, axis=0)
+
     y_ends = _eval(ends)
     d_out = y_ends.shape[1]
     fx, f_base = y_ends[:E], y_ends[E:]             # (E, D) each
-    y = _eval(masked).reshape(E, S, d_out)
+    y = _eval_masked().reshape(E, S, d_out)
 
     Y = jnp.asarray((y - f_base[:, None, :]).transpose(1, 0, 2)
                     .reshape(S, E * d_out))
@@ -489,19 +512,36 @@ def kernel_shap(predict_fn, data, explain=None, background=None,
     return phi, f_base
 
 
+class ShapValues:
+    """kernel_shap result in the shape downstream code expects from a shap
+    Explanation: `.values` (n, F, D) attributions, `.base_values` (n, D)
+    baseline outputs, `.data` the explained inputs; indexing returns the
+    per-row triple (what plot_shap_waterfall consumes)."""
+
+    def __init__(self, values, base_values, data):
+        self.values, self.base_values, self.data = values, base_values, data
+
+    def __getitem__(self, i):
+        return ShapValues(self.values[i], self.base_values[i], self.data[i])
+
+    def __len__(self):
+        return len(self.values)
+
+
 def shap_explain(estimator, data, modality: int = 0, max_evals=500,
                  **kwargs):
     """SHAP explanation through modal_predict, as the reference notebooks do
     (scMNC-Visual.ipynb cells 35-42). The shap package is an optional extra;
     without it this falls back to the native `kernel_shap` (same estimand,
-    runs the masked evaluations batched on device)."""
+    masked evaluations batched on device) and returns a `ShapValues` with
+    the Explanation-style `.values`/`.base_values`/`.data` attributes."""
     try:
         import shap
     except ImportError:
         phi, base = kernel_shap(
             lambda x: estimator.modal_predict(x, modality), data,
             n_coalitions=max_evals, **kwargs)
-        return phi
+        return ShapValues(phi, base, np.asarray(data))
     explainer = shap.Explainer(
         lambda x: estimator.modal_predict(x, modality), data, **kwargs)
     return explainer(data, max_evals=max_evals)

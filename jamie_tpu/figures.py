@@ -722,9 +722,9 @@ def plot_shap_summary(phi, data, feature_names=None, max_features=15,
     if ax is None:
         ax = plt.gcf().add_subplot(1, 1, 1)
     for row, j in enumerate(order[::-1]):
-        v = data[:, j]
+        v = data[:, j].astype(np.float64)   # int inputs: keep 0.5 exact
         lo, hi = v.min(), v.max()
-        c = (v - lo) / (hi - lo) if hi > lo else np.full_like(v, 0.5)
+        c = (v - lo) / (hi - lo) if hi > lo else np.full(v.shape, 0.5)
         ax.scatter(phi[:, j], row + 0.12 * rng.randn(phi.shape[0]),
                    c=c, cmap='coolwarm', s=14, linewidths=0, alpha=0.8)
     ax.axvline(0, color='gray', linewidth=1)

@@ -88,8 +88,11 @@ def test_shap_explain_through_estimator(synthetic_pair):
                batch_size=64, pca_dim=None, distance_mode='euclidean',
                epoch_pd=100, use_early_stop=False, dropout=0.0)
     jm.fit_transform(dataset=data)
-    phi = shap_explain(jm, data[0][:6], modality=0, max_evals=96)
+    res = shap_explain(jm, data[0][:6], modality=0, max_evals=96)
+    phi = res.values   # Explanation-style access (ShapValues shim)
     assert phi.shape == (6, data[0].shape[1], data[1].shape[1])
+    assert res.base_values.shape == (6, data[1].shape[1])
+    assert len(res) == 6 and res[2].values.shape == phi[2].shape
     assert np.isfinite(phi).all()
     # efficiency against a direct modal_predict call
     pred = jm.modal_predict(data[0][:6], 0)
@@ -97,6 +100,55 @@ def test_shap_explain_through_estimator(synthetic_pair):
     base = jm.modal_predict(bg, 0)
     np.testing.assert_allclose(phi.sum(axis=1), pred - base,
                                rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(res.base_values, base, rtol=1e-4, atol=1e-4)
+
+
+def test_underdetermined_coalition_budget_rejected():
+    """Fewer coalitions than features would make the WLS rank-deficient —
+    finite, efficiency-satisfying, and confidently wrong; it must raise
+    (shap errors at the same place) and name the features= escape hatch."""
+    rng = np.random.RandomState(10)
+    data = rng.randn(5, 40).astype(np.float32)
+    with pytest.raises(ValueError, match='features='):
+        kernel_shap(_linear(rng.randn(40, 2).astype(np.float32), 0.0),
+                    data, n_coalitions=30)
+
+
+def test_boolean_feature_mask():
+    """A boolean mask for features= selects by mask, not by int-cast {0,1}
+    indices."""
+    rng = np.random.RandomState(11)
+    F, D = 9, 2
+    W = rng.randn(F, D).astype(np.float32)
+    data = rng.randn(10, F).astype(np.float32)
+    mask = np.zeros(F, bool); mask[[2, 5, 8]] = True
+    phi, base = kernel_shap(_linear(W, 0.0), data, features=mask,
+                            n_coalitions=64, seed=12)
+    assert phi.shape == (10, 3, D)
+    bg = data.mean(axis=0)
+    expected = (data[:, mask] - bg[mask])[:, :, None] * W[mask][None]
+    np.testing.assert_allclose(phi, expected, rtol=1e-3, atol=1e-3)
+
+
+def test_masked_eval_streams_in_batches():
+    """Masked inputs are built per eval slab, never as one (E*S, F) matrix:
+    the predict_fn must only ever see batches <= batch_rows, and tiny
+    batch_rows must still give the exact linear answer."""
+    rng = np.random.RandomState(13)
+    F, D = 6, 2
+    W = rng.randn(F, D).astype(np.float32)
+    data = rng.randn(7, F).astype(np.float32)
+    seen = []
+
+    def f(x):
+        seen.append(len(x))
+        return np.asarray(x) @ W
+
+    phi, _ = kernel_shap(f, data, n_coalitions=64, seed=14, batch_rows=50)
+    assert max(seen) <= 50
+    bg = data.mean(axis=0)
+    expected = (data - bg)[:, :, None] * W[None]
+    np.testing.assert_allclose(phi, expected, rtol=1e-3, atol=1e-3)
 
 
 def test_shap_plots_smoke():
