@@ -479,8 +479,18 @@ def kernel_shap(predict_fn, data, explain=None, background=None,
     x_base = x.copy(); x_base[:, sel] = bg[sel]
     ends = np.concatenate([x, x_base], axis=0)
 
+    def _out2d(o, nrows):
+        """Scalar-output models returning (n,) become one output column."""
+        o = np.asarray(o)
+        if o.ndim == 1:
+            assert o.shape[0] == nrows, (
+                f'predict_fn returned {o.shape} for {nrows} input rows')
+            return o[:, None]
+        return o
+
     def _eval(m):
-        outs = [np.asarray(predict_fn(m[s:s + batch_rows]))
+        outs = [_out2d(predict_fn(m[s:s + batch_rows]),
+                       min(batch_rows, m.shape[0] - s))
                 for s in range(0, m.shape[0], batch_rows)]
         return np.concatenate(outs, axis=0)
 
@@ -496,7 +506,7 @@ def kernel_shap(predict_fn, data, explain=None, background=None,
             slab = x[i]                             # copy via fancy index
             slab[:, sel] = (Z[c] * x_sel[i]
                             + (1.0 - Z[c]) * bg[sel][None, :])
-            outs.append(np.asarray(predict_fn(slab)))
+            outs.append(_out2d(predict_fn(slab), len(r)))
         return np.concatenate(outs, axis=0)
 
     y_ends = _eval(ends)

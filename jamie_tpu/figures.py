@@ -710,6 +710,8 @@ def plot_shap_summary(phi, data, feature_names=None, max_features=15,
     output_index: which output column to show (default: mean over outputs).
     """
     import matplotlib.pyplot as plt
+    if hasattr(phi, 'values'):        # ShapValues / shap Explanation
+        phi = phi.values
     phi = np.asarray(phi)
     if phi.ndim == 3:
         phi = (phi.mean(axis=2) if output_index is None

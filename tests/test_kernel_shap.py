@@ -167,3 +167,18 @@ def test_shap_plots_smoke():
     plt.figure()
     plot_shap_waterfall(phi[0], base[0], max_features=5, output_index=1)
     plt.close('all')
+
+
+def test_scalar_output_model():
+    """predict_fn returning (n,) — a scalar-output model like the
+    notebooks' per-feature lambdas — is treated as one output column."""
+    rng = np.random.RandomState(15)
+    F = 7
+    wv = rng.randn(F).astype(np.float32)
+    data = rng.randn(9, F).astype(np.float32)
+    phi, base = kernel_shap(lambda x: np.asarray(x) @ wv, data,
+                            n_coalitions=64, seed=16)
+    assert phi.shape == (9, F, 1) and base.shape == (9, 1)
+    bg = data.mean(axis=0)
+    np.testing.assert_allclose(phi[:, :, 0], (data - bg) * wv,
+                               rtol=1e-3, atol=1e-3)
