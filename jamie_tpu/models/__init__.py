@@ -1,5 +1,5 @@
 from .coupled_vae import CoupledVAE, TorchDense, combine_latents
-from .simple import SimpleCoupledAE
+from .simple import SimpleCoupledAE, SimpleJAMIEModel
 from .baselines import (
     BABELMini, SimpleCommonDualModel, SimpleDualModel, SimpleModel,
     SingleModel, predict_nn,
@@ -7,6 +7,7 @@ from .baselines import (
 
 __all__ = [
     'CoupledVAE', 'TorchDense', 'combine_latents', 'SimpleCoupledAE',
+    'SimpleJAMIEModel',
     'BABELMini', 'SimpleCommonDualModel', 'SimpleDualModel', 'SimpleModel',
     'SingleModel', 'predict_nn',
 ]

@@ -48,3 +48,8 @@ class SimpleCoupledAE(nn.Module):
                              param_dtype=self.param_dtype, name=f'dec{i}_bn')(h)
             reconstructed.append(h)
         return embedded, reconstructed
+
+
+# Reference name (jamie/utilities.py:681): same fields, flax module instead
+# of a torch one — construct with the same (input_dim, output_dim) args.
+SimpleJAMIEModel = SimpleCoupledAE

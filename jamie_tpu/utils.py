@@ -23,6 +23,7 @@ from scipy import stats
 
 from .core.timing import TimeLogger as time_logger  # noqa: N813 (ref name)
 from .preprocess import identity  # noqa: F401 (re-export)
+from .preprocess import Preprocessor as preclass  # noqa: F401,N813 (ref name)
 
 
 def outliers(x, leniency=1.5, aggregate=False, return_limits=False,

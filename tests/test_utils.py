@@ -214,3 +214,26 @@ def test_load_matrix_mmap_dtype(tmp_path):
     assert out.dtype == np.float64 and not rec
     # non-mmap still casts
     assert load_matrix(p).dtype == np.float32
+
+
+def test_reference_name_aliases():
+    """Every public reference symbol resolves under its reference name:
+    preclass (jamie/utilities.py:654) and SimpleJAMIEModel (:681) are the
+    two renamed classes — the aliases must stay importable and usable."""
+    import jax
+
+    from jamie_tpu.models import SimpleCoupledAE, SimpleJAMIEModel
+    from jamie_tpu.preprocess import Preprocessor
+    from jamie_tpu.utils import preclass
+
+    assert preclass is Preprocessor
+    assert SimpleJAMIEModel is SimpleCoupledAE
+    # reference construction signature: positional (input_dim, output_dim)
+    m = SimpleJAMIEModel((5, 7), 3)
+    xs = [np.ones((4, 5), np.float32), np.ones((4, 7), np.float32)]
+    corr = np.eye(4, dtype=np.float32)
+    var = m.init(jax.random.PRNGKey(0), xs, corr)
+    emb, rec = m.apply(var, xs, corr)
+    assert emb[0].shape == (4, 3) and rec[1].shape == (4, 7)
+    pre = preclass.fit(np.random.RandomState(0).randn(20, 6), pca_dim=2)
+    assert pre.transform(np.random.RandomState(1).randn(3, 6)).shape == (3, 2)
