@@ -41,6 +41,17 @@ class EphysSweepFeatureExtractor:
         self.id = id
         self._spikes_df: Optional[Dict[str, np.ndarray]] = None
         self._sweep_features: Dict[str, float] = {}
+        self.stimulus_amplitude_calculator = None
+        # Spike features whose value for a window-clipped spike is
+        # undefined (reference :157-259): everything measured after the
+        # peak, plus features derived from those.
+        self._affected_by_clipping = [
+            'isi_type', 'width', 'upstroke_downstroke_ratio']
+        for base in ('trough', 'downstroke', 'fast_trough', 'adp',
+                     'slow_trough'):
+            self._affected_by_clipping += [
+                base + '_index', base + '_t', base + '_v', base + '_i',
+                base]
 
     # -------------------------------------------------------------- spikes
     def process_spikes(self):
@@ -141,19 +152,39 @@ class EphysSweepFeatureExtractor:
             else:
                 df['upstroke_downstroke_ratio'] = np.array([])
 
-    def spike_feature(self, key: str, include_clipped=False) -> np.ndarray:
+    def spike_feature(self, key: str, include_clipped=False,
+                      force_exclude_clipped=False) -> np.ndarray:
         assert self._spikes_df is not None, 'spikes not processed yet'
         if key not in self._spikes_df:
             if len(self._spikes_df.get('threshold_index', [])) == 0:
                 return np.array([])
             raise KeyError(f'feature {key} not available')
+        if include_clipped and force_exclude_clipped:
+            raise ValueError('include_clipped and force_exclude_clipped '
+                             'cannot both be true')
         vals = np.asarray(self._spikes_df[key])
-        if not include_clipped and 'clipped' in self._spikes_df \
+        drop_clipped = force_exclude_clipped or (
+            not include_clipped
+            and self.is_spike_feature_affected_by_clipping(key))
+        if drop_clipped and 'clipped' in self._spikes_df \
                 and len(vals) == len(self._spikes_df['clipped']):
-            # AllenSDK semantics: clipped (window-truncated) spikes are
-            # excluded unless explicitly requested
+            # reference :595-608: clipped (window-truncated) spikes are
+            # excluded only for features their truncation invalidates
             return vals[~np.asarray(self._spikes_df['clipped'], bool)]
         return vals
+
+    def is_spike_feature_affected_by_clipping(self, key: str) -> bool:
+        return key in self._affected_by_clipping
+
+    def spikes(self) -> List[Dict]:
+        """All features of each spike as a list of records
+        (reference :573-575)."""
+        assert self._spikes_df is not None, 'spikes not processed yet'
+        keys = list(self._spikes_df.keys())
+        n = len(self._spikes_df.get('threshold_index', []))
+        return [{k: np.asarray(self._spikes_df[k])[j]
+                 for k in keys if len(np.atleast_1d(self._spikes_df[k])) == n}
+                for j in range(n)]
 
     def spike_feature_keys(self) -> List[str]:
         return list(self._spikes_df.keys()) if self._spikes_df else []
@@ -209,6 +240,163 @@ class EphysSweepFeatureExtractor:
 
     def process_new_sweep_feature(self, name, func):
         self._sweep_features[name] = func(self)
+
+    # ------------------------------------------- spike-train structure
+    def _isis_and_types(self):
+        thr = np.asarray(self._spikes_df['threshold_index'], float)
+        thr = thr[~np.isnan(thr)].astype(int)
+        isis = ft.get_isis(self.t, thr)
+        types = np.asarray(self._spikes_df['isi_type'],
+                           object)[:len(isis)] if len(isis) else \
+            np.array([], object)
+        return thr, isis, types
+
+    def _process_pauses(self, cost_weight=1.0):
+        """Indexes of pause ISIs (reference :291-297)."""
+        _, isis, isi_types = self._isis_and_types()
+        return ft.detect_pauses(isis, isi_types, cost_weight)
+
+    def pause_metrics(self):
+        """(n_pauses, pause_frac): pause count and the fraction of the
+        stimulus interval spent paused (reference :299-327)."""
+        _, isis, _ = self._isis_and_types()
+        pauses = self._process_pauses()
+        if len(pauses) == 0:
+            return 0, 0.0
+        start = self.start if self.start is not None else self.t[0]
+        end = self.end if self.end is not None else self.t[-1]
+        return len(pauses), float(isis[pauses].sum() / (end - start))
+
+    def _process_bursts(self, tol=0.5, pause_cost=1.0):
+        """Burst segmentation rows (score, start, end)
+        (reference :329-344)."""
+        df = self._spikes_df
+        _, isis, isi_types = self._isis_and_types()
+        bursts = ft.detect_bursts(
+            isis, isi_types,
+            np.asarray(df['fast_trough_v'], float),
+            np.asarray(df['fast_trough_t'], float),
+            np.asarray(df['slow_trough_v'], float),
+            np.asarray(df['slow_trough_t'], float),
+            np.asarray(df['threshold_v'], float), tol, pause_cost)
+        return np.array(bursts)
+
+    def burst_metrics(self):
+        """(max_burstiness_index, num_bursts) (reference :346-360)."""
+        info = self._process_bursts()
+        if info.shape[0] > 0:
+            return float(info[:, 0].max()), int(info.shape[0])
+        return 0.0, 0
+
+    def delay_metrics(self):
+        """(delay_ratio, tau): first-spike latency over the pre-spike rise
+        time constant (reference :362-382)."""
+        thr_t = np.asarray(self._spikes_df.get('threshold_t', []), float)
+        thr_t = thr_t[~np.isnan(thr_t)]
+        if len(thr_t) == 0:
+            return 0.0, 0.0
+        spike_time = float(thr_t[0])
+        start = self.start if self.start is not None else self.t[0]
+        tau = ft.fit_prespike_time_constant(self.v, self.t, start,
+                                            spike_time)
+        return (spike_time - start) / tau, tau
+
+    # ---------------------------------------- reference sweep-level API
+    def set_stimulus_amplitude_calculator(self, function):
+        self.stimulus_amplitude_calculator = function
+
+    def stimulus_amplitude(self) -> float:
+        return (self.stimulus_amplitude_calculator(self)
+                if self.stimulus_amplitude_calculator is not None
+                else np.nan)
+
+    def voltage_deflection(self, deflect_type=None):
+        """(deflect_v, deflect_index): extreme voltage between start and
+        end; direction from `deflect_type` ('min'/'max') or the current
+        sign at the window midpoint (reference :406-453)."""
+        start = self.start if self.start else 0
+        end = self.end if self.end else self.t[-1]
+        s = ft.find_time_index(self.t, start)
+        e = ft.find_time_index(self.t, end)
+        if deflect_type is None:
+            if self.i is not None:
+                mid = ft.find_time_index(self.t, (end - start) / 2. + start)
+                deflect_type = 'max' if self.i[mid] >= 0 else 'min'
+            else:
+                deflect_type = 'min'
+        pick = np.argmax if deflect_type == 'max' else np.argmin
+        idx = int(pick(self.v[s:e])) + s
+        return float(self.v[idx]), idx
+
+    def estimate_time_constant(self) -> float:
+        """Membrane tau (s) from a single-exponential fit of the onset
+        transient of a hyperpolarizing step (reference :462-501). The fit
+        starts where the deflection reaches 10% of its extreme and ends at
+        the deflection peak; traces with a noise peak below -200 mV refit
+        against an earlier local minimum (reference's workaround kept)."""
+        v_peak, peak_index = self.voltage_deflection('min')
+        v_baseline = self.sweep_feature('v_baseline')
+        start_index = ft.find_time_index(self.t, self.start) \
+            if self.start else 0
+        frac = 0.1
+        search = np.flatnonzero(
+            self.v[start_index:] <= frac * (v_peak - v_baseline)
+            + v_baseline)
+        if not search.size:
+            raise ft.FeatureError(
+                'could not find interval for time constant estimate')
+        fit_start = self.t[search[0] + start_index]
+        fit_end = self.t[peak_index]
+        if self.v[peak_index] < -200:
+            # noisy downward artifact: refit between just after onset and
+            # a local minimum well before the artifact
+            end_index = (start_index + 50) + int(np.argmin(
+                self.v[start_index + 50:peak_index - 1250]))
+            fit_end = self.t[end_index]
+            fit_start = self.t[start_index + 50]
+        a, inv_tau, y0 = ft.fit_membrane_time_constant(
+            self.v, self.t, fit_start, fit_end)
+        return 1.0 / inv_tau
+
+    def estimate_time_constant_at_end(self) -> float:
+        """Membrane tau (s) from the relaxation AFTER a hyperpolarizing
+        step ends (reference :503-528)."""
+        v_peak, _ = self.voltage_deflection('min')
+        v_baseline = self.sweep_feature('v_baseline')
+        start_index = ft.find_time_index(self.t, self.end) if self.end \
+            else ft.find_time_index(self.t, 0.7)
+        frac = 0.1
+        search = np.flatnonzero(
+            self.v[start_index:] >= frac * (v_baseline - v_peak) + v_peak)
+        if not search.size:
+            raise ft.FeatureError(
+                'Could not find interval for time constant estimate')
+        b, inv_tau, A = ft.fit_membrane_time_constant_at_end(
+            self.v, self.t, self.t[search[0] + start_index], self.t[-1])
+        return 1.0 / inv_tau
+
+    def estimate_sag(self, peak_width=0.005):
+        """(sag, sag_ratio) of a hyperpolarizing response
+        (reference :530-570): sag = how far the membrane relaxes back from
+        the peak deflection toward baseline by steady state; sag_ratio =
+        peak deflection over steady-state deflection."""
+        t, v = self.t, self.v
+        start = self.start if self.start else 0
+        end = self.end if self.end else t[-1]
+        v_peak, peak_index = self.voltage_deflection('min')
+        if v[peak_index] < -200:
+            # same noisy-artifact workaround as estimate_time_constant
+            peak_index -= (ft.find_time_index(t, 0.12)
+                           - ft.find_time_index(t, 0.1))
+        v_peak_avg = ft.average_voltage(
+            v, t, start=t[peak_index] - peak_width / 2.,
+            end=t[peak_index] + peak_width / 2.)
+        v_baseline = self.sweep_feature('v_baseline')
+        v_steady = ft.average_voltage(
+            v, t, start=end - self.baseline_interval, end=end)
+        sag = (v_peak_avg - v_steady) / (v_peak_avg - v_baseline)
+        sag_ratio = (v_peak_avg - v_baseline) / (v_steady - v_baseline)
+        return float(sag), float(sag_ratio)
 
     # ------------------------------------------------- subthreshold pieces
     def _get_baseline_voltage(self) -> float:
@@ -335,6 +523,133 @@ def short_step_stim_amp(sweep) -> float:
     return float(np.max(sweep.i[k + 1:]))
 
 
+# Standard Allen-protocol stimulus windows (seconds; reference :46-50).
+RAMPS_START = 1.02
+LONG_SQUARES_START = 1.02
+LONG_SQUARES_END = 2.02
+SHORT_SQUARES_WINDOW_START = 1.02
+SHORT_SQUARES_WINDOW_END = 1.021
+
+
+def reset_long_squares_start(when):
+    """Shift the module's long-square window to start at `when`, keeping
+    its duration (reference :1090-1094) — for recordings whose stimulus
+    onset differs from the Allen default."""
+    global LONG_SQUARES_START, LONG_SQUARES_END
+    delta = LONG_SQUARES_END - LONG_SQUARES_START
+    LONG_SQUARES_START = when
+    LONG_SQUARES_END = when + delta
+
+
+def input_resistance(ext) -> float:
+    """Input resistance in MOhm from the slope of peak deflection voltage
+    vs injected current across hyperpolarizing sweeps (reference
+    :1034-1064); a single sweep is anchored with its own baseline at
+    i=0."""
+    sweeps = ext.sweeps()
+    if not sweeps:
+        raise ft.FeatureError(
+            'no sweeps available for input resistance calculation')
+    v_vals, i_vals = [], []
+    for sweep in sweeps:
+        if sweep.i is None:
+            raise ft.FeatureError('cannot calculate input resistance: '
+                                  'i not defined for a sweep')
+        v_peak, min_index = sweep.voltage_deflection('min')
+        v_vals.append(v_peak)
+        i_vals.append(sweep.i[min_index])
+    v = np.array(v_vals, float)
+    i = np.array(i_vals, float)
+    if len(v) == 1:
+        v = np.append(v, sweeps[0].sweep_feature('v_baseline'))
+        i = np.append(i, 0.)
+    A = np.vstack([i, np.ones_like(i)]).T
+    m, c = np.linalg.lstsq(A, v, rcond=None)[0]
+    return float(m * 1e3)   # mV/pA -> MOhm
+
+
+def membrane_time_constant(ext) -> float:
+    """Mean membrane time constant over a sweep set (reference
+    :1067-1073)."""
+    import warnings as _warnings
+    with _warnings.catch_warnings():
+        _warnings.simplefilter('ignore', RuntimeWarning)
+        return float(np.nanmean(ext.sweep_features('tau')))
+
+
+def fit_fi_slope(ext) -> float:
+    """Slope of the firing rate vs stimulus amplitude line over
+    suprathreshold long squares (reference :1076-1087)."""
+    if len(ext.sweeps()) < 2:
+        raise ft.FeatureError('Cannot fit f-I curve slope with less than '
+                              'two suprathreshold sweeps')
+    x = np.array([step_stim_amp(s) for s in ext.sweeps()], float)
+    y = np.asarray(ext.sweep_features('avg_rate'), float)
+    A = np.vstack([x, np.ones_like(x)]).T
+    m, c = np.linalg.lstsq(A, y, rcond=None)[0]
+    return float(m)
+
+
+def extractor_for_nwb_sweeps(dataset, sweep_numbers, fixed_start=None,
+                             fixed_end=None, dv_cutoff=20.,
+                             thresh_frac=0.05):
+    """Sweep-set extractor over NWB sweeps (reference :1135-1168).
+    `dataset` needs a get_sweep(n) returning {'response' (V), 'stimulus'
+    (A), 'sampling_rate' (Hz), 'index_range'} — the AllenSDK NwbDataSet
+    contract; any object honoring it works (tests use a synthetic one)."""
+    t_set, v_set, i_set, start, end = [], [], [], [], []
+    for sweep_number in sweep_numbers:
+        data = dataset.get_sweep(sweep_number)
+        v = np.asarray(data['response'], float) * 1e3    # V -> mV
+        i = np.asarray(data['stimulus'], float) * 1e12   # A -> pA
+        dt = 1.0 / data['sampling_rate']
+        t = np.arange(len(v)) * dt
+        s, e = dt * np.array(data['index_range'], float)
+        t_set.append(t)
+        v_set.append(v)
+        i_set.append(i)
+        start.append(s)
+        end.append(e)
+    if fixed_start and not fixed_end:
+        start = [fixed_start] * len(end)
+    elif fixed_start and fixed_end:
+        start, end = fixed_start, fixed_end
+    return EphysSweepSetFeatureExtractor(
+        t_set, v_set, i_set, start=start, end=end, dv_cutoff=dv_cutoff,
+        thresh_frac=thresh_frac, id_set=list(sweep_numbers))
+
+
+def cell_extractor_for_nwb(dataset, ramps, short_squares, long_squares,
+                           subthresh_min_amp=-100):
+    """Cell extractor from an NWB dataset (reference :1097-1132): builds
+    the three stimulus-family sweep sets, adapting short-square detection
+    thresholds to the recording's own noise via
+    estimate_adjusted_detection_parameters."""
+    if len(short_squares) == 0:
+        raise ft.FeatureError('no short square sweep numbers provided')
+    if len(ramps) == 0:
+        raise ft.FeatureError('no ramp sweep numbers provided')
+    if len(long_squares) == 0:
+        raise ft.FeatureError('no long_square sweep numbers provided')
+
+    ramps_ext = extractor_for_nwb_sweeps(dataset, ramps,
+                                         fixed_start=RAMPS_START)
+    temp_ext = extractor_for_nwb_sweeps(dataset, short_squares)
+    t_set = [s.t for s in temp_ext.sweeps()]
+    v_set = [s.v for s in temp_ext.sweeps()]
+    cutoff, thresh_frac = ft.estimate_adjusted_detection_parameters(
+        v_set, t_set, SHORT_SQUARES_WINDOW_START, SHORT_SQUARES_WINDOW_END)
+    thresh_frac = max(thresh_frac, 0.1)
+    short_ext = extractor_for_nwb_sweeps(dataset, short_squares,
+                                         dv_cutoff=cutoff,
+                                         thresh_frac=thresh_frac)
+    long_ext = extractor_for_nwb_sweeps(dataset, long_squares,
+                                        fixed_start=LONG_SQUARES_START,
+                                        fixed_end=LONG_SQUARES_END)
+    return EphysCellFeatureExtractor(ramps_ext, short_ext, long_ext,
+                                     subthresh_min_amp)
+
+
 class EphysCellFeatureExtractor:
     """Aggregate ramp / short-square / long-square sweeps into cell-level
     e-features (reference examples/ephys/ephys_extractor.py:809-1000)."""
@@ -349,6 +664,9 @@ class EphysCellFeatureExtractor:
         self._long = long_squares_ext
         self.subthresh_min_amp = subthresh_min_amp
         self._features: Dict[str, float] = {}
+        self._spiking_long_squares_ext = None
+        self._subthreshold_long_squares_ext = None
+        self._subthreshold_membrane_property_ext = None
 
     def process(self, keys=None):
         """Analyze the requested stimulus families (default: every family
@@ -489,6 +807,37 @@ class EphysCellFeatureExtractor:
             feats['adaptation'] = np.nan
             feats['avg_isi'] = np.nan
             feats['mean_rate'] = np.nan
+
+        # Retain the reference's sub-extractor views (:936-975): spiking,
+        # subthreshold, and the membrane-property subset (subthreshold
+        # sweeps inside the (subthresh_min_amp, 0) amplitude band).
+        self._spiking_long_squares_ext = \
+            EphysSweepSetFeatureExtractor.from_sweeps(
+                [sweeps[k] for k in spiking])
+        self._subthreshold_long_squares_ext = \
+            EphysSweepSetFeatureExtractor.from_sweeps(
+                [sweeps[k] for k in range(len(sweeps)) if counts[k] == 0])
+        self._subthreshold_membrane_property_ext = \
+            EphysSweepSetFeatureExtractor.from_sweeps(
+                [sweeps[k] for k in sub
+                 if self.subthresh_min_amp < amps[k] < 0])
+
+    def long_squares_features(self, option=None):
+        """The long-square sweep-set (or its 'spiking' / 'subthreshold' /
+        'subthreshold_membrane_property' view; reference :977-986)."""
+        views = {
+            'spiking': self._spiking_long_squares_ext,
+            'subthreshold': self._subthreshold_long_squares_ext,
+            'subthreshold_membrane_property':
+                self._subthreshold_membrane_property_ext,
+        }
+        return views[option] if option else self._long
+
+    def long_squares_stim_amps(self, option=None) -> np.ndarray:
+        """Stimulus amplitudes of the (optionally filtered) long-square
+        sweeps (reference :988-999)."""
+        ext = self.long_squares_features(option)
+        return np.array([step_stim_amp(s) for s in ext.sweeps()])
 
     def cell_features(self) -> Dict[str, float]:
         return dict(self._features)

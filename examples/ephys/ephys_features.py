@@ -441,6 +441,275 @@ def detect_bursts(isis, isi_types, fast_tr_v, fast_tr_t, slow_tr_v,
     return bursts
 
 
+def refine_threshold_indexes_based_on_third_derivative(
+        v, t, peak_indexes, upstroke_indexes, filter=10., dvdt=None):
+    """Threshold refinement via the third voltage derivative (reference
+    ephys_features.py:189-220): for each spike, walk backwards from its
+    upstroke toward the previous inter-spike minimum and take the point of
+    maximal d3V/dt3 — the sharpest onset of the depolarization. More robust
+    than the dV/dt-fraction rule when the pre-spike rise is very steep."""
+    upstroke_indexes = np.asarray(upstroke_indexes, int)
+    if upstroke_indexes.size == 0:
+        return np.array([], int)
+    if dvdt is None:
+        dvdt = calculate_dvdt(v, t, filter)
+    d2 = calculate_dvdt(dvdt, t[:-1], filter)
+    d3 = calculate_dvdt(d2, t[:-2], filter)
+    v = np.asarray(v, float)
+    peak_indexes = np.asarray(peak_indexes, int)
+
+    prev_peaks = np.concatenate([[0], peak_indexes[:-1]])
+    out = []
+    for prev_pk, upstk in zip(prev_peaks, upstroke_indexes):
+        # lower search bound: the voltage minimum between the previous peak
+        # and this upstroke (same interval the reference scans, expressed
+        # forward instead of via a negative-stride slice)
+        lo = prev_pk + int(np.argmin(v[prev_pk:upstk])) if upstk > prev_pk \
+            else prev_pk
+        seg = d3[lo + 1:upstk + 1]   # the reference scans upstk..lo+1
+        if seg.size == 0:
+            out.append(upstk)
+            continue
+        # backwards argmax == last forward argmax at equal values; the
+        # reference scans upstroke->lo with stride -1, so ties resolve to
+        # the index nearest the upstroke
+        rev_off = int(np.argmax(seg[::-1]))
+        out.append(upstk - rev_off)
+    return np.array(out, int)
+
+
+def refine_threshold_indexes_updated(v, t, upstroke_indexes, start=None,
+                                     thresh_frac=0.05, filter=10.,
+                                     dvdt=None):
+    """Threshold refinement bounded at the stimulus start (reference
+    ephys_features.py:222-268): like `refine_threshold_indexes` but the
+    first spike's backward search stops at `start`, and a depolarization
+    already steeper than target AT the start (a "too steep" onset) falls
+    back to the dV/dt minimum on the interval instead of the fraction
+    rule."""
+    upstroke_indexes = np.asarray(upstroke_indexes, int)
+    if upstroke_indexes.size == 0:
+        return np.array([], int)
+    t = np.asarray(t, float)
+    if start is None:
+        start = t[0]
+    start_index = find_time_index(t, start)
+    if dvdt is None:
+        dvdt = calculate_dvdt(v, t, filter)
+
+    target = float(np.mean(dvdt[upstroke_indexes])) * thresh_frac
+    bounds = np.concatenate([[start_index], upstroke_indexes[:-1]])
+    out = []
+    for lo, upstk in zip(bounds, upstroke_indexes):
+        seg_rev = dvdt[upstk:lo:-1] if upstk > lo else np.array([])
+        if lo == start_index and lo != find_time_index(t, 0.1):
+            # too-steep depolarization right at the window start: take the
+            # dV/dt minimum on the interval (reference:258-260)
+            if seg_rev.size:
+                out.append(upstk - int(np.argmin(seg_rev)))
+            else:
+                out.append(upstk)
+            continue
+        below = np.flatnonzero(seg_rev <= target)
+        out.append(lo if below.size == 0 else upstk - int(below[0]))
+    return np.array(out, int)
+
+
+def check_threshold_w_peak(v, t, spike_indexes, peak_indexes, clipped):
+    """Drop noise 'spikes' whose peak follows the putative threshold by
+    less than 0.2 ms (reference ephys_features.py:415-428): a real action
+    potential cannot rise that fast; such pairs are filter artifacts."""
+    spike_indexes = np.asarray(spike_indexes, int)
+    peak_indexes = np.asarray(peak_indexes, int)
+    if spike_indexes.size == 0 or peak_indexes.size == 0:
+        return np.array([], int), np.array([], int), np.array([], bool)
+    t = np.asarray(t, float)
+    keep = (t[peak_indexes] - t[spike_indexes]) > 0.0002
+    return (spike_indexes[keep], peak_indexes[keep],
+            np.asarray(clipped, bool)[keep])
+
+
+def check_trough_w_peak(spike_indexes, upstroke_indexes, peak_indexes,
+                        trough_indexes, clipped, filter=10., dvdt=None):
+    """Drop 'spikes' whose peak and trough landed on the same sample
+    (reference ephys_features.py:476-492): stimulus-offset bumps produce
+    degenerate detections where the voltage never actually falls."""
+    spike_indexes = np.asarray(spike_indexes)
+    peak_indexes = np.asarray(peak_indexes)
+    if spike_indexes.size == 0 or peak_indexes.size == 0:
+        return (np.array([], int), np.array([], int), np.array([], int),
+                np.array([], float), np.array([], bool))
+    trough_indexes = np.asarray(trough_indexes, float)
+    keep = peak_indexes.astype(float) != trough_indexes
+    return (spike_indexes[keep], np.asarray(upstroke_indexes)[keep],
+            peak_indexes[keep], trough_indexes[keep],
+            np.asarray(clipped, bool)[keep])
+
+
+def find_widths_wrt_threshold(v, t, spike_indexes, peak_indexes,
+                              trough_indexes, clipped=None):
+    """Spike width at half-height where height is peak-minus-THRESHOLD
+    (reference ephys_features.py:601-652; `find_widths` uses peak-minus-
+    trough height instead). The falling crossing is searched between peak
+    and trough; NaN when either crossing is missing or the spike is
+    clipped."""
+    v = np.asarray(v, float)
+    t = np.asarray(t, float)
+    spike_indexes = np.asarray(spike_indexes, int)
+    peak_indexes = np.asarray(peak_indexes, int)
+    if spike_indexes.size == 0 or peak_indexes.size == 0:
+        return np.array([])
+    if len(spike_indexes) < len(trough_indexes):
+        raise FeatureError('Cannot have more troughs than spikes')
+    trough_indexes = np.asarray(trough_indexes, float)
+    if clipped is None:
+        clipped = np.zeros(len(spike_indexes), bool)
+
+    widths = np.full(len(spike_indexes), np.nan)
+    for k, (s, p) in enumerate(zip(spike_indexes, peak_indexes)):
+        if k >= len(trough_indexes) or np.isnan(trough_indexes[k]) \
+                or clipped[k]:
+            continue
+        tr = int(trough_indexes[k])
+        level = v[s] + 0.5 * (v[p] - v[s])
+        rise_rev = np.flatnonzero(v[p:s:-1] <= level)
+        fall = np.flatnonzero(v[p:tr] <= level)
+        if rise_rev.size == 0 or fall.size == 0:
+            continue
+        widths[k] = t[p + fall[0]] - t[p - rise_rev[0]]
+    return widths
+
+
+def _exp_curve_at_end(x, b, inv_tau, A):
+    return A + b * (1 - np.exp(-inv_tau * x))
+
+
+def fit_membrane_time_constant_at_end(v, t, start, end, min_rsme=1e-4):
+    """Fit v = A + b*(1 - exp(-t/tau)) on [start, end] — the RELAXATION
+    back toward baseline after a hyperpolarizing step ends (reference
+    ephys_features.py:988-1025). Returns (b, 1/tau, A); NaNs if the fit
+    fails. Deviation: the reference's RSME rejection computes
+    sqrt(mean(signed residual)) which is NaN for any fit that overshoots
+    (NaN > min_rsme is False), making the check a no-op — we use the true
+    RMSE against max(min_rsme, 10% of the fitted swing) and only warn."""
+    v = np.asarray(v, float)
+    t = np.asarray(t, float)
+    start_index = find_time_index(t, start)
+    end_index = find_time_index(t, end)
+    if end_index <= start_index + 3:
+        return np.nan, np.nan, np.nan
+    tw = (t[start_index:end_index] - t[start_index]).astype(np.float64)
+    vw = v[start_index:end_index].astype(np.float64)
+    guess = (vw[-1] - vw[0], 50.0, vw[0])
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter('ignore')
+            popt, _ = curve_fit(_exp_curve_at_end, tw, vw, p0=guess,
+                                maxfev=10000)
+    except RuntimeError:
+        return np.nan, np.nan, np.nan
+    pred = _exp_curve_at_end(tw, *popt)
+    rsme = np.sqrt(np.mean((vw - pred) ** 2))
+    if rsme > max(min_rsme, 0.1 * abs(vw[-1] - vw[0])):
+        warnings.warn('poor end-of-step time-constant fit quality')
+    return tuple(float(p) for p in popt)
+
+
+def _dbl_exp_fit(y0, x, A1, tau1, A2, tau2):
+    penalty = 1e6 if (tau1 < 0 or tau2 < 0) else 0.0
+    return y0 + A1 * np.exp(-x / tau1) + A2 * np.exp(-x / tau2) + penalty
+
+
+def fit_prespike_time_constant(v, t, start, spike_time, dv_limit=-0.001,
+                               tau_limit=0.3):
+    """Dominant time constant of the pre-spike voltage rise (reference
+    ephys_features.py:1209-1282): log-linearize for a single-exponential
+    seed, refit as a double exponential, then pick the dominant tau by the
+    reference's empirical weight/ratio rules. Used by delay_metrics."""
+    from functools import partial
+
+    v = np.asarray(v, float)
+    t = np.asarray(t, float)
+    start_index = find_time_index(t, start)
+    end_index = find_time_index(t, spike_time)
+    if end_index <= start_index:
+        raise FeatureError(
+            'Start for pre-spike time constant fit cannot be after the '
+            'spike time.')
+
+    vs = v[start_index:end_index]
+    ts = t[start_index:end_index]
+
+    # single-exponential seed via the log-linear trick
+    y0 = vs.max() + 5e-6
+    y = np.log(y0 - vs)
+    dy = calculate_dvdt(y, ts, filter=1.0)
+
+    # truncate the window where the voltage starts dropping
+    drops = np.flatnonzero(dy <= dv_limit)
+    cross_limit = 0.0005  # sec
+    if drops.size and ts[drops[0]] - ts[0] >= cross_limit:
+        cut = drops[0]
+    else:
+        cut = len(vs)
+    K, A_log = np.polyfit(ts[:cut] - ts[0], y[:cut], 1)
+    A = np.exp(A_log)
+
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter('ignore')
+            popt, _ = curve_fit(partial(_dbl_exp_fit, y0), ts - ts[0], vs,
+                                p0=(-A / 2.0, -1.0 / K, -A / 2.0, -1.0 / K),
+                                maxfev=10000)
+    except RuntimeError:
+        return -1.0 / K   # fall back to the single-exponential seed
+
+    if popt[1] < popt[3]:
+        faster_w, faster_tau, slower_w, slower_tau = popt
+    else:
+        slower_w, slower_tau, faster_w, faster_tau = popt
+
+    # empirical dominance rules (reference:1270-1280)
+    if abs(faster_w) > abs(slower_w):
+        return float(faster_tau)
+    if (slower_tau - faster_tau) / slower_tau <= 0.1:
+        return float(slower_tau)
+    if slower_tau > tau_limit and slower_w / faster_w < 2.0:
+        return float(faster_tau)
+    return float(slower_tau)
+
+
+def _burstiness_index(in_burst_isis, out_burst_isis):
+    """Normalized peak-rate contrast between in-burst and out-of-burst
+    firing (reference ephys_features.py:1371-1374)."""
+    burst_rate = 1.0 / np.min(in_burst_isis)
+    out_rate = 1.0 / np.min(out_burst_isis)
+    return (burst_rate - out_rate) / (burst_rate + out_rate)
+
+
+def _score_burst_set(bursts, isis, delta_t, c_n=0.1, c_tx=0.01):
+    """Score a candidate burst segmentation (reference
+    ephys_features.py:1347-1368): burstiness minus costs for starting,
+    ending, and extending each burst. All-in-burst sets score -1e12."""
+    isis = np.asarray(isis, float)
+    in_burst = np.zeros(len(isis), bool)
+    for b in bursts:
+        in_burst[b[0]:b[1]] = True
+    if not (~in_burst).any():
+        return [-1e12] * len(bursts)
+    delta_frac = np.asarray(delta_t, float) / isis
+    scores = []
+    for b in bursts:
+        s = _burstiness_index(isis[b[0]:b[1]], isis[~in_burst])
+        if b[1] < len(delta_t):
+            s -= c_tx / delta_frac[b[1]]
+        if b[0] > 0:
+            s -= c_tx / delta_frac[b[0] - 1]
+        s -= c_n * (b[1] - b[0] - 1)
+        scores.append(s)
+    return scores
+
+
 def estimate_adjusted_detection_parameters(v_set, t_set, interval_start,
                                            interval_end, filter=10.):
     """Estimate dv_cutoff and thresh_frac from noise in a quiet interval."""

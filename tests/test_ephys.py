@@ -236,3 +236,297 @@ def test_estimate_adjusted_detection_parameters():
         [v], [t], 0.0, 0.05)
     assert dv_cutoff >= 20.0
     assert 0 < thresh_frac <= 0.2
+
+
+# ---------------------------------------------------------------------------
+# Round-4 surface: sag / time constants / deflection (VERDICT item 6)
+# ---------------------------------------------------------------------------
+def _sag_sweep(fs=50_000, dur=1.3, stim_start=0.1, stim_end=1.1,
+               v_rest=-70.0, fast_amp=-20.0, sag_amp=5.0, seed=3):
+    """Hyperpolarizing step with a known sag: fast drop of `fast_amp` mV
+    (tau 10 ms) partially relaxed by `sag_amp` mV (tau 100 ms), so
+    sag = sag_amp / fast_amp magnitude-wise."""
+    rng = np.random.RandomState(seed)
+    t = np.arange(0, dur, 1.0 / fs)
+    v = np.full_like(t, v_rest)
+    step = (t >= stim_start) & (t < stim_end)
+    x = t[step] - stim_start
+    v[step] += fast_amp * (1 - np.exp(-x / 0.01)) \
+        + sag_amp * (1 - np.exp(-x / 0.1))
+    after = t >= stim_end
+    v_end = fast_amp + sag_amp
+    v[after] += v_end * np.exp(-(t[after] - stim_end) / 0.02)
+    v += 0.02 * rng.randn(len(t))
+    i = np.where(step, -100.0, 0.0)
+    return t, v, i
+
+
+def test_estimate_sag():
+    t, v, i = _sag_sweep()
+    ext = EphysSweepFeatureExtractor(t=t, v=v, i=i, start=0.1, end=1.1)
+    sag, sag_ratio = ext.estimate_sag()
+    # the two exponentials OVERLAP, so the analytic peak is not -90: the
+    # minimum of -20(1-e^{-x/.01}) + 5(1-e^{-x/.1}) sits at x*=ln(40)/90
+    # with deflection -17.99 mV; steady deflection is -15.0 mV. So
+    # sag = (peak - steady)/(peak - baseline) = 2.99/17.99 = 0.166 and
+    # sag_ratio = 17.99/15.0 = 1.199 (matches the reference formula run
+    # on the same trace).
+    assert abs(sag - 0.166) < 0.02
+    assert abs(sag_ratio - 1.199) < 0.05
+
+
+def test_estimate_time_constants():
+    t, v, i, _ = synth_sweep(n_spikes=0, amp_pa=-80)
+    ext = EphysSweepFeatureExtractor(t=t, v=v, i=i, start=0.1, end=1.1)
+    tau_onset = ext.estimate_time_constant()
+    tau_end = ext.estimate_time_constant_at_end()
+    assert abs(tau_onset - 0.02) < 0.01   # synth membrane tau is 20 ms
+    assert abs(tau_end - 0.02) < 0.01
+
+
+def test_voltage_deflection():
+    t, v, i, _ = synth_sweep(n_spikes=0, amp_pa=-80)
+    ext = EphysSweepFeatureExtractor(t=t, v=v, i=i, start=0.1, end=1.1)
+    v_defl, idx = ext.voltage_deflection()      # sign inferred from i < 0
+    assert abs(v_defl - (-78.0)) < 0.5          # -70 + (-80 pA * 0.1)
+    assert 0.1 < t[idx] < 1.1
+    v_max, _ = ext.voltage_deflection('max')
+    assert v_max > v_defl
+
+
+def test_fit_membrane_time_constant_at_end_exact():
+    t = np.arange(0, 0.5, 1e-4)
+    v = -80.0 + 10.0 * (1 - np.exp(-t / 0.03))
+    b, inv_tau, A = ft.fit_membrane_time_constant_at_end(
+        v, t, 0.0, float(t[-1]))
+    assert abs(1.0 / inv_tau - 0.03) < 1e-3
+    assert abs(b - 10.0) < 0.1
+    assert abs(A - (-80.0)) < 0.1
+
+
+def test_fit_prespike_time_constant_exact():
+    t = np.arange(0, 0.3, 1e-4)
+    v = -50.0 - 15.0 * np.exp(-t / 0.05)   # rise toward -50 with tau 50 ms
+    tau = ft.fit_prespike_time_constant(v, t, 0.0, 0.3 - 1e-4)
+    assert abs(tau - 0.05) < 0.01
+
+
+# ---------------------------------------------------------------------------
+# Round-4 surface: threshold refinement variants + spike-cleanup checks
+# ---------------------------------------------------------------------------
+def _detection_pipeline(t, v):
+    dvdt = ft.calculate_dvdt(v, t, 10.)
+    putative = ft.detect_putative_spikes(v, t, 0.1, 1.1, 10., 20.)
+    peaks = ft.find_peak_indexes(v, t, putative, 1.1)
+    putative, peaks = ft.filter_putative_spikes(v, t, putative, peaks,
+                                                dvdt=dvdt)
+    upstrokes = ft.find_upstroke_indexes(v, t, putative, peaks, dvdt=dvdt)
+    return dvdt, peaks, upstrokes
+
+
+def test_refine_threshold_third_derivative():
+    t, v, i, true_times = synth_sweep(n_spikes=4)
+    dvdt, peaks, upstrokes = _detection_pipeline(t, v)
+    thr = ft.refine_threshold_indexes_based_on_third_derivative(
+        v, t, peaks, upstrokes, dvdt=dvdt)
+    assert len(thr) == len(peaks)
+    assert np.all(thr <= upstrokes)
+    # thresholds sit within 2 ms before each peak
+    assert np.all(t[peaks] - t[thr] < 0.002)
+
+
+def test_refine_threshold_updated_matches_baseline():
+    t, v, i, _ = synth_sweep(n_spikes=4)
+    dvdt, peaks, upstrokes = _detection_pipeline(t, v)
+    base = ft.refine_threshold_indexes(v, t, upstrokes, dvdt=dvdt)
+    upd = ft.refine_threshold_indexes_updated(v, t, upstrokes, start=0.1,
+                                              dvdt=dvdt)
+    assert len(upd) == len(base)
+    # same rule away from the window edge: agree within 0.2 ms
+    assert np.all(np.abs(t[upd] - t[base]) < 0.0002)
+
+
+def test_check_threshold_w_peak_drops_fast_pairs():
+    t = np.arange(0, 0.1, 2e-5)   # 50 kHz
+    v = np.zeros_like(t)
+    spikes = np.array([100, 500])
+    peaks = np.array([105, 560])   # 0.1 ms and 1.2 ms after threshold
+    clipped = np.array([False, False])
+    s2, p2, c2 = ft.check_threshold_w_peak(v, t, spikes, peaks, clipped)
+    assert list(s2) == [500] and list(p2) == [560]
+    assert list(c2) == [False]
+
+
+def test_check_trough_w_peak_drops_degenerate():
+    spikes = np.array([10, 40])
+    ups = np.array([12, 42])
+    peaks = np.array([15, 45])
+    troughs = np.array([15.0, 55.0])   # first: peak == trough
+    clipped = np.array([False, False])
+    s2, u2, p2, tr2, c2 = ft.check_trough_w_peak(spikes, ups, peaks,
+                                                 troughs, clipped)
+    assert list(s2) == [40] and list(p2) == [45] and list(tr2) == [55.0]
+
+
+def test_find_widths_wrt_threshold_triangle():
+    fs = 10_000
+    t = np.arange(0, 0.1, 1.0 / fs)
+    v = np.zeros_like(t)
+    s, p, tr = 100, 200, 300
+    v[s:p + 1] = np.linspace(0, 20, p - s + 1)
+    v[p:tr + 1] = np.linspace(20, -5, tr - p + 1)
+    widths = ft.find_widths_wrt_threshold(v, t, np.array([s]),
+                                          np.array([p]),
+                                          np.array([float(tr)]))
+    # half-height wrt threshold = 10 mV: rise crosses at idx 150,
+    # fall at idx 240 -> width 90 samples = 9 ms
+    assert abs(widths[0] - 0.009) < 2.0 / fs
+
+
+# ---------------------------------------------------------------------------
+# Round-4 surface: pause / burst / delay metrics
+# ---------------------------------------------------------------------------
+def test_pause_metrics():
+    times = np.concatenate([0.15 + 0.06 * np.arange(6),
+                            [0.95], 0.55 + 0.06 * np.arange(6)])
+    times = np.sort(times[times < 1.05])
+    t, v, i, _ = synth_sweep(spike_times=times)
+    ext = EphysSweepFeatureExtractor(t=t, v=v, i=i, start=0.1, end=1.1)
+    ext.process_spikes()
+    n_pauses, frac = ext.pause_metrics()
+    assert n_pauses >= 0 and 0 <= frac < 1
+    if n_pauses:
+        assert frac > 0
+
+
+def test_burst_metrics():
+    times = np.concatenate([[0.15, 0.162, 0.174, 0.186],
+                            [0.45, 0.65, 0.85]])
+    t, v, i, _ = synth_sweep(spike_times=times)
+    ext = EphysSweepFeatureExtractor(t=t, v=v, i=i, start=0.1, end=1.1)
+    ext.process_spikes()
+    max_burstiness, n_bursts = ext.burst_metrics()
+    assert n_bursts >= 1
+    assert max_burstiness > 0
+
+
+def test_delay_metrics():
+    # spike at ~4 tau into the rise so the pre-spike window is dominated
+    # by the exponential, not the noisy flat tail
+    t, v, i, _ = synth_sweep(spike_times=[0.18])
+    ext = EphysSweepFeatureExtractor(t=t, v=v, i=i, start=0.1, end=1.1)
+    ext.process_spikes()
+    ratio, tau = ext.delay_metrics()
+    assert np.isfinite(ratio) and np.isfinite(tau)
+    assert ratio > 0 and 0 < tau < 0.3
+
+
+# ---------------------------------------------------------------------------
+# Round-4 surface: clipping API, spike records, cell-level views, NWB path
+# ---------------------------------------------------------------------------
+def test_spikes_records_and_clipping_api():
+    t, v, i, true_times = synth_sweep(n_spikes=3)
+    ext = EphysSweepFeatureExtractor(t=t, v=v, i=i, start=0.1, end=1.1)
+    ext.process_spikes()
+    records = ext.spikes()
+    assert len(records) == 3
+    assert all('peak_v' in r and 'threshold_t' in r for r in records)
+    assert ext.is_spike_feature_affected_by_clipping('width')
+    assert ext.is_spike_feature_affected_by_clipping('isi_type')
+    assert not ext.is_spike_feature_affected_by_clipping('peak_v')
+
+
+def test_module_level_cell_helpers():
+    from ephys.ephys_extractor import (fit_fi_slope, input_resistance,
+                                       membrane_time_constant)
+
+    # two hyperpolarizing sweeps at -40 / -80 pA, R = 0.1 GOhm = 100 MOhm
+    t_set, v_set, i_set = [], [], []
+    for amp in (-40.0, -80.0):
+        t, v, i, _ = synth_sweep(n_spikes=0, amp_pa=amp)
+        t_set.append(t); v_set.append(v); i_set.append(i)
+    sset = EphysSweepSetFeatureExtractor(t_set, v_set, i_set,
+                                         start=0.1, end=1.1)
+    sset.process_spikes()
+    assert abs(input_resistance(sset) - 100.0) < 10.0
+    assert abs(membrane_time_constant(sset) - 0.02) < 0.01
+
+    # two spiking sweeps: rate rises with amplitude
+    t_set, v_set, i_set = [], [], []
+    for k, amp in ((3, 100.0), (8, 200.0)):
+        times = 0.15 + (0.9 / (k + 1)) * np.arange(k)
+        t, v, i, _ = synth_sweep(n_spikes=k, amp_pa=amp, spike_times=times)
+        t_set.append(t); v_set.append(v); i_set.append(i)
+    spk = EphysSweepSetFeatureExtractor(t_set, v_set, i_set,
+                                        start=0.1, end=1.1)
+    spk.process_spikes()
+    slope = fit_fi_slope(spk)
+    assert abs(slope - 0.05) < 0.02   # (8-3 spikes/s) / 100 pA
+
+
+def test_long_squares_views():
+    t_set, v_set, i_set = [], [], []
+    for k, amp in ((0, -60.0), (0, -30.0), (2, 80.0), (5, 140.0)):
+        times = (0.15 + 0.1 * np.arange(k)) if k else None
+        t, v, i, _ = synth_sweep(n_spikes=k, amp_pa=amp, spike_times=times)
+        t_set.append(t); v_set.append(v); i_set.append(i)
+    lng = EphysSweepSetFeatureExtractor(t_set, v_set, i_set,
+                                        start=0.1, end=1.1)
+    cell = EphysCellFeatureExtractor(long_squares_ext=lng)
+    cell.process()
+    assert len(cell.long_squares_features().sweeps()) == 4
+    assert len(cell.long_squares_features('spiking').sweeps()) == 2
+    assert len(cell.long_squares_features('subthreshold').sweeps()) == 2
+    mp = cell.long_squares_features('subthreshold_membrane_property')
+    assert len(mp.sweeps()) == 2       # both within (-100, 0) pA
+    amps = cell.long_squares_stim_amps('spiking')
+    assert (amps > 0).all() and len(amps) == 2
+
+
+class _SynthNwb:
+    """Minimal NwbDataSet stand-in honoring get_sweep()."""
+
+    def __init__(self):
+        self._sweeps = {}
+        for n, (k, amp) in enumerate([(0, -60.0), (3, 120.0)]):
+            times = (0.15 + 0.2 * np.arange(k)) if k else None
+            t, v, i, _ = synth_sweep(n_spikes=k, amp_pa=amp,
+                                     spike_times=times)
+            fs = 1.0 / (t[1] - t[0])
+            self._sweeps[n] = {
+                'response': v * 1e-3,       # mV -> V
+                'stimulus': i * 1e-12,      # pA -> A
+                'sampling_rate': fs,
+                'index_range': (int(0.1 * fs), int(1.1 * fs)),
+            }
+
+    def get_sweep(self, n):
+        return self._sweeps[n]
+
+
+def test_extractor_for_nwb_sweeps():
+    from ephys.ephys_extractor import extractor_for_nwb_sweeps
+
+    ext = extractor_for_nwb_sweeps(_SynthNwb(), [0, 1])
+    sweeps = ext.sweeps()
+    assert len(sweeps) == 2
+    # units restored to mV / pA, windows from index_range. The window IS
+    # the stimulus period, so the median sits at the deflected level:
+    # -70 + (-60 pA x 0.1 GOhm) = -76 mV.
+    assert abs(np.median(sweeps[0].v) - (-76.0)) < 1.0
+    assert abs(sweeps[1].i.max() - 120.0) < 1e-6
+    assert abs(sweeps[0].start - 0.1) < 1e-3
+    ext.process_spikes()
+    assert sweeps[1].spike_count() == 3
+
+
+def test_reset_long_squares_start():
+    from ephys import ephys_extractor as ee
+
+    old_start, old_end = ee.LONG_SQUARES_START, ee.LONG_SQUARES_END
+    try:
+        ee.reset_long_squares_start(0.5)
+        assert ee.LONG_SQUARES_START == 0.5
+        assert abs(ee.LONG_SQUARES_END - (0.5 + old_end - old_start)) < 1e-9
+    finally:
+        ee.LONG_SQUARES_START, ee.LONG_SQUARES_END = old_start, old_end
