@@ -11,7 +11,7 @@ Ablations (all on the bench config, 5 timed chunks of 200 epochs each):
   flat        optax.flatten(...) — one concatenated parameter vector, so the
               clip + moment + update chain runs as a few big fused
               elementwise kernels instead of ~26 small per-tensor ones
-  fused       jamie_tpu.ops.fused_optimizer (clip fold-in + single-pass
+  fused       jamie_tpu.ops.ab_archive.clip_adam (clip fold-in + single-pass
               Adam), when available
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python -u examples/train_step_bench.py
@@ -90,7 +90,7 @@ def main():
             optax.adam(cfg.model_lr, b1=0.9, b2=0.999, eps=1e-8))),
         transformed, cfg_kwargs)
     try:
-        from jamie_tpu.ops.fused_optimizer import clip_adam
+        from jamie_tpu.ops.ab_archive import clip_adam
         run_variant('fused', lambda cfg: clip_adam(cfg.model_lr),
                     transformed, cfg_kwargs)
     except ImportError:

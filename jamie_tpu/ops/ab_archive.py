@@ -1,19 +1,37 @@
-"""Pallas TPU kernels — the native performance layer.
+"""A/B archive: hand-written kernels that LOST to XLA's fused output.
 
-The reference delegates its hot loops to torch's C++/ATen and sklearn's C
-internals (SURVEY.md section 2); here the equivalents are hand-written TPU
-kernels where XLA's automatic fusion leaves bandwidth on the table:
+NONE of this module is on any production path. Every entry here was built,
+measured on the real v5e against the plain-XLA equivalent, and kept ONLY so
+the negative result stays reproducible (VERDICT round-3 "what's weak" item 5
+asked for exactly this consolidation). The production code paths are:
+`solvers/prime_dual.py` (plain XLA tail), `train/trainer.py` (optax chain),
+`ops/distances.py` (jnp Gram matmul). Committed A/B numbers (RESULTS.md):
 
-1. `fused_pd_update` — the prime-dual solver's per-iteration elementwise
-   tail (Adam moment update, bias correction, normalized step, nonneg
-   projection, damped F update; jamie/jamie.py:375-384). Unfused, this chain
-   reads/writes the three (m, n) state arrays several times per iteration;
-   one Pallas pass reads grad/F/M1/M2 once and writes F/M1/M2 once —
-   the minimum possible HBM traffic for the update.
+1. `fused_pd_update` / `fused_pd_grad_update` — Pallas prime-dual
+   iteration tail (Adam moments + projection + damped F update, optionally
+   with gradient assembly fused in; reference jamie/jamie.py:375-384).
+   Measured 65 eff. TFLOPs at N=8981 vs 82 for the XLA tail it replaces —
+   XLA already fuses the whole elementwise chain into the second matmul's
+   epilogue, and the Pallas version forces an extra HBM round-trip at the
+   kernel boundary. Reachable via `Prime_Dual(..., use_pallas=True)`;
+   default False.
 
-2. `pairwise_sq_euclidean_pallas` — tiled ||x||^2 + ||y||^2 - 2 x y^T with
-   the epilogue (norm broadcast add, clamping) fused into the matmul's
-   final K-step, so the N x N output is written exactly once.
+2. `clip_adam` — global-norm clip folded into a single-pass Adam
+   (semantically optax.chain(clip_by_global_norm(1), adam) up to float
+   reassociation). Measured +-0% vs the chained optax version at the bench
+   config: the train step is 0.41 ms and XLA's fusion already eliminates
+   the intermediate scaled-gradient tree. A/B harness:
+   examples/train_step_bench.py ('fused' variant).
+
+3. `pairwise_sq_euclidean_pallas` — tiled ||x||^2 + ||y||^2 - 2 x y^T with
+   the epilogue fused into the matmul's final K-step. The plain jnp Gram
+   path in ops/distances.py compiles to the same fusion; no measured win.
+
+Closed by arithmetic, not just measurement (CLAUDE.md "remaining
+candidates"): the bench model is ~4.3M params, so even a ONE-pass fused
+optimizer moves 7 trees x 17.2 MB = 120 MB = 0.147 ms at the v5e's 819
+GB/s, and XLA's fused tail already measures ~0.11 ms — there is no
+headroom for a hand kernel at these shapes.
 
 Kernels run compiled on TPU and fall back to `interpret=True` elsewhere
 (CPU tests exercise identical code paths through the interpreter).
@@ -22,10 +40,12 @@ Kernels run compiled on TPU and fall back to `interpret=True` elsewhere
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import optax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -232,3 +252,53 @@ def pairwise_sq_euclidean_pallas(x, y=None, tile_m: int = 256,
     if self_dist:
         out = out * (1.0 - jnp.eye(m, dtype=out.dtype))
     return out
+
+
+# ---------------------------------------------------------------------------
+# 3. Folded clip+Adam (single-pass optimizer; A/B'd +-0% vs optax chain)
+# ---------------------------------------------------------------------------
+class ClipAdamState(NamedTuple):
+    count: jax.Array
+    mu: 'optax.Updates'
+    nu: 'optax.Updates'
+
+
+def clip_adam(learning_rate: float, b1: float = 0.9, b2: float = 0.999,
+              eps: float = 1e-8,
+              clip_norm: float = 1.0) -> 'optax.GradientTransformation':
+    """Global-norm clip folded into a single-pass Adam update.
+
+    Semantics match optax.chain(optax.clip_by_global_norm(clip_norm),
+    optax.adam(learning_rate)) bit-for-bit up to float reassociation:
+    the clip scale is a scalar folded directly into the moment updates,
+    so the scaled-gradient intermediate tree is never materialized. A/B
+    (examples/train_step_bench.py): no measurable win — XLA fuses the
+    optax chain's intermediate away already. Archived, not production.
+    """
+
+    def init(params):
+        return ClipAdamState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params))
+
+    def update(updates, state, params=None):
+        del params
+        g_norm = optax.global_norm(updates)
+        # identical guard to optax.clip_by_global_norm
+        scale = jnp.minimum(1.0, clip_norm / jnp.maximum(g_norm, 1e-16))
+        count = state.count + 1
+        c1 = 1 - b1 ** count.astype(jnp.float32)
+        c2 = 1 - b2 ** count.astype(jnp.float32)
+
+        mu = jax.tree.map(lambda g, m_: b1 * m_ + (1 - b1) * (g * scale),
+                          updates, state.mu)
+        nu = jax.tree.map(
+            lambda g, v: b2 * v + (1 - b2) * jnp.square(g * scale),
+            updates, state.nu)
+        upd = jax.tree.map(
+            lambda m_, v: -learning_rate * (m_ / c1) / (jnp.sqrt(v / c2) + eps),
+            mu, nu)
+        return upd, ClipAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)

@@ -94,7 +94,7 @@ def _run_chunk(carry, i0, Kx, Ky, tr_kx_kx, n_iters: int, rho: float,
         colsum = jnp.sum(F, axis=0, keepdims=True)  # Im^T F
 
         if use_pallas:
-            from ..ops.pallas_kernels import fused_pd_grad_update
+            from ..ops.ab_archive import fused_pd_grad_update
             F, M1, M2 = fused_pd_grad_update(
                 F, M1, M2, mm4, KxFKy, Mu, Lambda, S, rowsum, colsum, a, i,
                 epsilon, rho)

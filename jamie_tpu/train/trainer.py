@@ -264,7 +264,7 @@ class JamieTrainer:
         # fused kernels instead of ~26 per-tensor ones — measured +4.3%
         # step throughput at the bench config (1.236M -> 1.289M
         # cell-samples/s; the hand-folded single-pass clip+Adam in
-        # ops/fused_optimizer.py measured NO win over the plain chain — XLA
+        # ops/ab_archive.clip_adam measured NO win over the plain chain — XLA
         # already fuses the intermediate — so flatten is the one that
         # ships). Updates are bit-identical either way. On a mesh the
         # flatten would gather TP-sharded kernels into one replicated

@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from jamie_tpu.ops.distances import pairwise_sq_euclidean
-from jamie_tpu.ops.pallas_kernels import (
+from jamie_tpu.ops.ab_archive import (
     fused_pd_update, pairwise_sq_euclidean_pallas,
 )
 
