@@ -58,50 +58,456 @@ def host_bf16(arr: np.ndarray) -> np.ndarray:
         return arr.astype(ml_dtypes.bfloat16)
 
 
-_insert_rows_jit = None
+_insert_jits: dict = {}
+
+# Link-transfer accounting for the resident builds (VERDICT round-3 item 3:
+# report MB actually shipped so pool noise can't fake a Distance-phase win).
+# bytes = what the link carried; bf16_equiv_bytes = what the round-3
+# always-bf16 build would have carried for the same data.
+_transfer = {'bytes': 0, 'bf16_equiv_bytes': 0}
 
 
-def _insert_rows(resident, xb, start):
-    # One module-cached jitted executable (a fresh closure per call would
-    # miss the jit cache and re-trace on every row chunk of the build);
-    # created lazily so importing this module never imports jax.
-    global _insert_rows_jit
-    if _insert_rows_jit is None:
-        import jax
-
-        @partial(jax.jit, donate_argnums=(0,))
-        def _ins(resident, xb, start):
-            return jax.lax.dynamic_update_slice(resident, xb, (start, 0))
-        _insert_rows_jit = _ins
-    return _insert_rows_jit(resident, xb, start)
+def transfer_stats() -> dict:
+    return dict(_transfer)
 
 
-def build_resident_bf16(arr, chunk_bytes: int = 256 << 20):
-    """Upload a big host f32 matrix as one device-resident bf16 array.
+def reset_transfer_stats() -> None:
+    _transfer['bytes'] = 0
+    _transfer['bf16_equiv_bytes'] = 0
 
-    Row-contiguous chunks: sequential reads (a column-strided pass over a
-    row-major memmap measured 79 MB/s vs GB/s sequential), torch-vectorized
-    host cast, async H2D dispatch, and a donated dynamic_update_slice into
-    the preallocated resident matrix — so the link transfer of chunk k
-    overlaps the read+cast of chunk k+1 and no jnp.concatenate transient
-    ever doubles the footprint (at scGLUE scale that second 4.4 GB copy,
-    stacked on both modalities' arrays, crashed the worker).
 
-    scipy-sparse inputs (CSR preferred) densify per row chunk — the dense
-    matrix never exists on host."""
+def _get_insert_jits():
+    # Module-cached jitted executables (a fresh closure per call would miss
+    # the jit cache and re-trace on every row chunk of the build); created
+    # lazily so importing this module never imports jax.
+    if _insert_jits:
+        return _insert_jits
     import jax
     import jax.numpy as jnp
     import ml_dtypes
 
-    from .hostmat import dense_rows
+    bf16 = ml_dtypes.bfloat16
 
+    @partial(jax.jit, donate_argnums=(0,))
+    def ins_bf16(resident, xb, start):
+        return jax.lax.dynamic_update_slice(resident, xb, (start, 0))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def ins_u8(resident, xb, start):
+        return jax.lax.dynamic_update_slice(
+            resident, xb.astype(bf16), (start, 0))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def ins_bits(resident, packed, scale, start):
+        # unpack big-endian bit order (np.packbits default): byte b yields
+        # columns 8b..8b+7 from MSB down
+        r, fb = packed.shape
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+        bits = (packed[:, :, None] >> shifts) & jnp.uint8(1)
+        xb = bits.reshape(r, fb * 8)[:, :resident.shape[1]].astype(bf16)
+        xb = xb * scale.astype(bf16)
+        return jax.lax.dynamic_update_slice(resident, xb, (start, 0))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def ins_bits2(resident, packed, lo, hi, start):
+        # per-column two-valued data (z-scored binary: every reference
+        # notebook z-scores its modalities, turning 0/1 ATAC peaks into
+        # two values PER COLUMN): bit selects between the column's bf16
+        # lo/hi, so the resident rows are bit-identical to what the plain
+        # bf16 ship would have produced.
+        r, fb = packed.shape
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+        bits = (packed[:, :, None] >> shifts) & jnp.uint8(1)
+        bits = bits.reshape(r, fb * 8)[:, :resident.shape[1]]
+        xb = jnp.where(bits.astype(bool), hi[None, :], lo[None, :])
+        return jax.lax.dynamic_update_slice(resident, xb, (start, 0))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def ins_csr(resident, indptr, cols, vals, start):
+        # padded entries carry cols == F (out of bounds) -> mode='drop'
+        rows = jnp.searchsorted(indptr, jnp.arange(cols.shape[0]),
+                                side='right').astype(jnp.int32) - 1
+        return resident.at[rows + start, cols].add(
+            vals.astype(bf16), mode='drop')
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def ins_csr_const(resident, indptr, cols, scale, start):
+        rows = jnp.searchsorted(indptr, jnp.arange(cols.shape[0]),
+                                side='right').astype(jnp.int32) - 1
+        vals = jnp.full(cols.shape, 1, bf16) * scale.astype(bf16)
+        return resident.at[rows + start, cols].add(vals, mode='drop')
+
+    _insert_jits.update(bf16=ins_bf16, u8=ins_u8, bits=ins_bits,
+                        bits2=ins_bits2, csr=ins_csr,
+                        csr_const=ins_csr_const)
+    return _insert_jits
+
+
+def _classify_dense_chunk(x: np.ndarray):
+    """Cheapest exact link format for a dense f32 chunk: ('bits', c) for
+    two-valued {0, c} data (1 bit/elem, 16x under bf16 — raw binarized
+    ATAC), ('bits2', (lo, hi)) for per-column two-valued data (1 bit/elem
+    + 4 bytes/col — what z-scoring binary columns produces, and every
+    reference notebook z-scores its modalities before JAMIE), ('u8', None)
+    for integers in [0, 255] (2x — counts), ('bf16', None) otherwise.
+    Small samples reject continuous data before a full-chunk scan pays
+    anything."""
+    flat = x.ravel()
+    sample = flat[:4096]
+    nz = sample[sample != 0]
+    c = float(nz[0]) if nz.size else 1.0
+    if np.all((sample == 0) | (sample == c)):
+        if np.all((flat == 0) | (flat == c)):
+            return 'bits', c
+    if x.shape[0] >= 8:
+        head = x[:8]
+        m8, M8 = head.min(axis=0), head.max(axis=0)
+        if np.all((head == m8) | (head == M8)):
+            lo, hi = x.min(axis=0), x.max(axis=0)
+            if np.all((x == lo) | (x == hi)):
+                return 'bits2', (lo, hi)
+    if np.all((sample >= 0) & (sample <= 255)
+              & (sample == np.rint(sample))):
+        if np.all((flat >= 0) & (flat <= 255) & (flat == np.rint(flat))):
+            return 'u8', None
+    return 'bf16', None
+
+
+def _classify_vals(data: np.ndarray):
+    """Same triage for a sparse chunk's nonzero values: ('const', c) |
+    ('u8', None) | ('bf16', None)."""
+    if data.size == 0:
+        return 'const', 1.0
+    c = float(data[0])
+    sample = data[:4096]
+    if np.all(sample == c) and np.all(data == c):
+        return 'const', c
+    if np.all((sample >= 0) & (sample <= 255)
+              & (sample == np.rint(sample))) \
+            and np.all((data >= 0) & (data <= 255)
+                       & (data == np.rint(data))):
+        return 'u8', None
+    return 'bf16', None
+
+
+def _nnz_bucket(nnz: int) -> int:
+    """Round nnz up to a power of two (>=256) so the padded-CSR insert
+    compiles O(log) variants, not one per chunk."""
+    b = 256
+    while b < nnz:
+        b <<= 1
+    return b
+
+
+class _Backpressure:
+    """Bound the host bytes pinned by in-flight async uploads.
+
+    Every dispatch through the tunnel is async: nothing in a streamed
+    chunk loop blocks, so the loop can enqueue EVERY chunk's transfer,
+    each pinning its host buffer until the device consumes it. The 100k-
+    cell atlas fit queued ~60 GB of dense f32 PCA chunks this way and was
+    host-OOM-killed at 131 GB RSS (round 4). Registering each uploaded
+    device operand here and blocking on the oldest once the window is
+    full keeps a transfer in flight (overlap preserved) while bounding
+    pinned memory to ~limit_bytes."""
+
+    def __init__(self, limit_bytes: int = 1 << 30):
+        from collections import deque
+        self.limit = int(limit_bytes)
+        self._q = deque()
+        self._bytes = 0
+
+    def add(self, *devs) -> None:
+        import jax
+        for d in devs:
+            nb = int(np.prod(d.shape)) * d.dtype.itemsize
+            self._q.append((d, nb))
+            self._bytes += nb
+        while self._bytes > self.limit and len(self._q) > 1:
+            d, nb = self._q.popleft()
+            jax.block_until_ready(d)
+            self._bytes -= nb
+
+    def drain(self) -> None:
+        import jax
+        while self._q:
+            jax.block_until_ready(self._q.popleft()[0])
+        self._bytes = 0
+
+
+def _ship_dense_chunk(resident, x, s, jits, jnp, bp=None):
+    kind, scale = _classify_dense_chunk(x)
+    start = jnp.asarray(s, jnp.int32)
+    if kind == 'bits':
+        packed = np.packbits(x != 0, axis=1)
+        if not packed.any():
+            return resident   # all-zero chunk: resident is already zeros
+        _transfer['bytes'] += packed.nbytes
+        dev = jnp.asarray(packed)
+        if bp is not None:
+            bp.add(dev)
+        return jits['bits'](resident, dev,
+                            jnp.asarray(scale, np.float32), start)
+    if kind == 'bits2':
+        lo, hi = scale
+        packed = np.packbits(x == hi, axis=1)
+        lo_b, hi_b = host_bf16(lo), host_bf16(hi)
+        _transfer['bytes'] += packed.nbytes + lo_b.nbytes + hi_b.nbytes
+        devs = [jnp.asarray(p) for p in (packed, lo_b, hi_b)]
+        if bp is not None:
+            bp.add(*devs)
+        return jits['bits2'](resident, *devs, start)
+    if kind == 'u8':
+        xb = np.ascontiguousarray(x, np.uint8)
+        _transfer['bytes'] += xb.nbytes
+        dev = jnp.asarray(xb)
+        if bp is not None:
+            bp.add(dev)
+        return jits['u8'](resident, dev, start)
+    xb = host_bf16(x)
+    _transfer['bytes'] += xb.nbytes
+    dev = jnp.asarray(xb)
+    if bp is not None:
+        bp.add(dev)
+    return jits['bf16'](resident, dev, start)
+
+
+def _encode_csr_chunk(chunk, f):
+    """Host-side link encoding of a scipy CSR row block: ('csr'|'csr_const',
+    payload numpy arrays, link_bytes) — or None when a dense format would
+    put fewer bytes on the link (the caller falls through)."""
+    import ml_dtypes
+
+    nnz = int(chunk.nnz)
+    r = chunk.shape[0]
+    vkind, c = _classify_vals(chunk.data)
+    val_bytes = {'const': 0, 'u8': 1, 'bf16': 2}[vkind]
+    csr_bytes = 4 * (_nnz_bucket(nnz) + r + 1) + _nnz_bucket(nnz) * val_bytes
+    dense_bytes = (r * ((f + 7) // 8) if vkind == 'const'
+                   else r * f if vkind == 'u8' else 2 * r * f)
+    if csr_bytes >= dense_bytes:
+        return None
+
+    pad = _nnz_bucket(nnz)
+    cols = np.full(pad, f, np.int32)          # f = out-of-bounds -> dropped
+    cols[:nnz] = chunk.indices
+    indptr = np.asarray(chunk.indptr, np.int32)
+    if vkind == 'const':
+        return ('csr_const', (indptr, cols, np.float32(c)),
+                cols.nbytes + indptr.nbytes)
+    if vkind == 'u8':
+        vals = np.zeros(pad, np.uint8)
+        vals[:nnz] = chunk.data
+    else:
+        vals = np.zeros(pad, ml_dtypes.bfloat16)
+        vals[:nnz] = host_bf16(np.asarray(chunk.data, np.float32))
+    return ('csr', (indptr, cols, vals),
+            cols.nbytes + indptr.nbytes + vals.nbytes)
+
+
+def _ship_csr_chunk(resident, chunk, s, f, jits, jnp, bp=None):
+    """Ship a scipy CSR row chunk as indices (+values unless constant),
+    densifying on device — or fall through to the dense-chunk formats
+    when they'd put fewer bytes on the link."""
+    if int(chunk.nnz) == 0:
+        return resident   # already zeros
+    enc = _encode_csr_chunk(chunk, f)
+    if enc is None:
+        from .hostmat import densify
+        return _ship_dense_chunk(resident, densify(chunk), s, jits, jnp, bp)
+    kind, payload, link_bytes = enc
+    _transfer['bytes'] += link_bytes
+    start = jnp.asarray(s, jnp.int32)
+    devs = [jnp.asarray(p) for p in payload]
+    if bp is not None:
+        bp.add(*devs)
+    return jits[kind](resident, *devs, start)
+
+
+def build_resident_bf16(arr, chunk_bytes: int = 256 << 20):
+    """Upload a big host matrix as one device-resident bf16 array, with a
+    dtype-aware link format per row chunk (VERDICT round-3 item 3).
+
+    Row-contiguous chunks: sequential reads (a column-strided pass over a
+    row-major memmap measured 79 MB/s vs GB/s sequential), then the
+    cheapest EXACT encoding the chunk admits — packed bits for two-valued
+    data (16x under bf16; u8/bit values are exactly representable in bf16
+    so the resident matrix is bit-identical to the round-3 all-bf16
+    build), u8 for small integers (2x), CSR indices+values for sparse
+    chunks whose nnz makes that smaller still — decoded on device by the
+    donated insert kernel. The link transfer of chunk k overlaps the
+    read+classify of chunk k+1, and no jnp.concatenate transient ever
+    doubles the footprint (at scGLUE scale that second 4.4 GB copy,
+    stacked on both modalities' arrays, crashed the worker).
+
+    Reference cost being attacked: the Distance/upload phase was 58% of
+    the round-3 pipeline leg (BENCH_r03) while jamie/jamie.py:839-890
+    ships nothing (CPU-local) — the transfer only exists on the
+    accelerator port, so it must be minimal."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from .hostmat import dense_rows, is_scipy_sparse
+
+    jits = _get_insert_jits()
     n, f = arr.shape
     rows = max(int(chunk_bytes / max(f * 2, 1)), 64)
     resident = jnp.zeros((n, f), ml_dtypes.bfloat16)
+    sparse_in = is_scipy_sparse(arr) and arr.format == 'csr'
+    bp = _Backpressure(2 * chunk_bytes)
     for s in range(0, n, rows):
-        xb = jnp.asarray(host_bf16(dense_rows(arr, s, s + rows)))
-        resident = _insert_rows(resident, xb, jnp.asarray(s, jnp.int32))
+        _transfer['bf16_equiv_bytes'] += 2 * min(rows, n - s) * f
+        if sparse_in:
+            resident = _ship_csr_chunk(resident, arr[s:s + rows], s, f,
+                                       jits, jnp, bp)
+        else:
+            resident = _ship_dense_chunk(
+                resident, dense_rows(arr, s, s + rows), s, jits, jnp, bp)
     return jax.block_until_ready(resident)
+
+
+_decode_jits: dict = {}
+
+
+def _get_decode_jits():
+    """Jitted link-format decoders returning a standalone dense f32 block
+    (the streamed-PCA twin of the resident-insert kernels). The feature
+    width is static; the row count is carried by the payload shapes."""
+    if _decode_jits:
+        return _decode_jits
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=('f',))
+    def dec_bits(packed, scale, f):
+        r, fb = packed.shape
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+        bits = (packed[:, :, None] >> shifts) & jnp.uint8(1)
+        return (bits.reshape(r, fb * 8)[:, :f].astype(jnp.float32)
+                * scale.astype(jnp.float32))
+
+    @partial(jax.jit, static_argnames=('f',))
+    def dec_bits2(packed, lo, hi, f):
+        r, fb = packed.shape
+        shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+        bits = (packed[:, :, None] >> shifts) & jnp.uint8(1)
+        bits = bits.reshape(r, fb * 8)[:, :f]
+        return jnp.where(bits.astype(bool), hi[None, :],
+                         lo[None, :]).astype(jnp.float32)
+
+    @partial(jax.jit, static_argnames=('f',))
+    def dec_plain(xb, f):
+        return xb[:, :f].astype(jnp.float32)
+
+    @partial(jax.jit, static_argnames=('f', 'r'))
+    def dec_csr(indptr, cols, vals, r, f):
+        rows = jnp.searchsorted(indptr, jnp.arange(cols.shape[0]),
+                                side='right').astype(jnp.int32) - 1
+        out = jnp.zeros((r, f), jnp.float32)
+        return out.at[rows, cols].add(vals.astype(jnp.float32), mode='drop')
+
+    @partial(jax.jit, static_argnames=('f', 'r'))
+    def dec_csr_const(indptr, cols, scale, r, f):
+        rows = jnp.searchsorted(indptr, jnp.arange(cols.shape[0]),
+                                side='right').astype(jnp.int32) - 1
+        out = jnp.zeros((r, f), jnp.float32)
+        return out.at[rows, cols].add(scale.astype(jnp.float32),
+                                      mode='drop')
+
+    _decode_jits.update(bits=dec_bits, bits2=dec_bits2, u8=dec_plain,
+                        bf16=dec_plain, csr=dec_csr,
+                        csr_const=dec_csr_const)
+    return _decode_jits
+
+
+class ChunkUploader:
+    """Dtype-aware, backpressured host->device block uploads for the
+    streamed phases (row/column-streamed PCA, feature-chunked Gram).
+
+    Each `rows(s, e)` / `cols(s, e)` call encodes the block in the
+    cheapest exact link format (the resident build's classification:
+    packed bits for two-valued data, u8 for small ints, CSR for sparse
+    blocks, bf16 otherwise), ships it, and returns the block decoded to
+    dense f32 on device. The _Backpressure window bounds pinned host
+    transfer buffers — the unbounded async loop is what OOM-killed the
+    100k-cell atlas fit (131 GB RSS; see _Backpressure).
+
+    Exactness: bits/u8/CSR-const/CSR-u8 round-trip bit-identically;
+    continuous data rounds to bf16 on the link (the same rounding the
+    resident path applies, quality A/B'd neutral on real data —
+    examples/bf16_threshold_ab.py)."""
+
+    def __init__(self, X, limit_bytes: int = 1 << 30):
+        from .hostmat import is_scipy_sparse
+        self.X = X
+        self.sparse = is_scipy_sparse(X)
+        self.bp = _Backpressure(limit_bytes)
+
+    def _block_f32(self, block_csr_or_dense, r, f):
+        import jax.numpy as jnp
+        dec = _get_decode_jits()
+        if self.sparse:
+            chunk = block_csr_or_dense
+            if int(chunk.nnz) == 0:
+                return jnp.zeros((r, f), jnp.float32)
+            enc = _encode_csr_chunk(chunk, f)
+            if enc is not None:
+                kind, payload, link_bytes = enc
+                _transfer['bytes'] += link_bytes
+                devs = [jnp.asarray(p) for p in payload]
+                self.bp.add(*devs)
+                return dec[kind](*devs, r=r, f=f)
+            from .hostmat import densify
+            x = densify(chunk)
+        else:
+            x = np.ascontiguousarray(block_csr_or_dense, np.float32)
+        kind, scale = _classify_dense_chunk(x)
+        if kind == 'bits':
+            packed = np.packbits(x != 0, axis=1)
+            if not packed.any():
+                return jnp.zeros((r, f), jnp.float32)
+            _transfer['bytes'] += packed.nbytes
+            dev = jnp.asarray(packed)
+            self.bp.add(dev)
+            return dec['bits'](dev, jnp.asarray(scale, np.float32), f=f)
+        if kind == 'bits2':
+            lo, hi = scale
+            packed = np.packbits(x == hi, axis=1)
+            lo_b, hi_b = host_bf16(lo), host_bf16(hi)
+            _transfer['bytes'] += packed.nbytes + lo_b.nbytes + hi_b.nbytes
+            devs = [jnp.asarray(p) for p in (packed, lo_b, hi_b)]
+            self.bp.add(*devs)
+            return dec['bits2'](*devs, f=f)
+        if kind == 'u8':
+            xb = np.ascontiguousarray(x, np.uint8)
+        else:
+            xb = host_bf16(x)
+        _transfer['bytes'] += xb.nbytes
+        dev = jnp.asarray(xb)
+        self.bp.add(dev)
+        return dec[kind](dev, f=f)
+
+    def rows(self, s: int, e: int):
+        """Rows [s:e) as a device-resident dense f32 block."""
+        e = min(e, self.X.shape[0])
+        f = int(self.X.shape[1])
+        _transfer['bf16_equiv_bytes'] += 2 * (e - s) * f
+        return self._block_f32(self.X[s:e], e - s, f)
+
+    def cols(self, s: int, e: int):
+        """Columns [s:e) as a device-resident dense f32 block (pass CSC
+        for sparse inputs — the per-chunk tocsr is O(chunk nnz))."""
+        e = min(e, self.X.shape[1])
+        n = int(self.X.shape[0])
+        _transfer['bf16_equiv_bytes'] += 2 * n * (e - s)
+        blk = self.X[:, s:e]
+        if self.sparse:
+            blk = blk.tocsr()
+        return self._block_f32(blk, n, e - s)
+
+    def drain(self) -> None:
+        self.bp.drain()
 
 
 def device_bf16(arr, budget_bytes: Optional[int] = None):

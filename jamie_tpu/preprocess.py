@@ -114,19 +114,23 @@ def _pca_fit_streamed(X, n_components: int, oversample: int = 10,
     per-chunk from a counter-derived key) and projection (B = Q^T Xc);
     avoids both the resident matrix and the N x N eigh. Sparse X should
     arrive CSC (_pca_fit converts) so each column chunk densifies in
-    O(chunk nnz)."""
-    from .core.hostmat import dense_cols
+    O(chunk nnz). Chunks ship through the dtype-aware backpressured
+    uploader (core/residency.ChunkUploader): binary/int/sparse sources
+    put 2-16x fewer bytes on the link, and pinned host transfer buffers
+    stay bounded (the unbounded async loop OOM-killed the 100k atlas)."""
+    from .core.residency import ChunkUploader
 
     n, f = X.shape
     k = min(n_components + oversample, n)
     chunk = max(int((1 << 30) / (n * 4)), 1024)
     key = jax.random.PRNGKey(seed)
+    up = ChunkUploader(X)
 
     # Pass 1: column means + sketch Y = sum_b Xc_b Omega_b
     mean_parts = []
     Y = jnp.zeros((n, k), jnp.float32)
     for ci, start in enumerate(range(0, f, chunk)):
-        xb = jnp.asarray(dense_cols(X, start, start + chunk))
+        xb = up.cols(start, start + chunk)
         mb = jnp.mean(xb, axis=0)
         omega_b = jax.random.normal(jax.random.fold_in(key, ci),
                                     (xb.shape[1], k), jnp.float32)
@@ -137,7 +141,7 @@ def _pca_fit_streamed(X, n_components: int, oversample: int = 10,
     # Pass 2: B = Q^T Xc, accumulated on host per chunk (k x f)
     comp_parts = []
     for start in range(0, f, chunk):
-        xb = jnp.asarray(dense_cols(X, start, start + chunk))
+        xb = up.cols(start, start + chunk)
         xbc = xb - jnp.mean(xb, axis=0)
         comp_parts.append(np.asarray(Q.T @ xbc))
     B = np.concatenate(comp_parts, axis=1)           # (k, f) on host
@@ -163,13 +167,21 @@ def _pca_fit_row_streamed(X, n_components: int, oversample: int = 10,
     read three times in row blocks (sketch, power iteration, projection)
     and the training scores come free from the final range.
 
-    Mirrors _pca_fit_streamed (the wide-matrix, column-streamed twin)."""
+    Mirrors _pca_fit_streamed (the wide-matrix, column-streamed twin).
+    Row blocks ship through the dtype-aware backpressured uploader
+    (core/residency.ChunkUploader): the 3%-dense atlas CSR goes over the
+    link as indices+values (~16x under dense f32), and pinned host
+    buffers stay bounded — the previous unbounded async loop queued all
+    four passes' dense chunks (~60 GB) and was host-OOM-killed at 131 GB
+    RSS on the 100k-cell atlas (round 4)."""
     from .core.hostmat import dense_rows
+    from .core.residency import ChunkUploader
 
     n, f = X.shape
     k = min(n_components + oversample, min(n, f))
     rows = max(int(chunk_bytes / max(f * 4, 1)), 256)
     key = jax.random.PRNGKey(seed)
+    up = ChunkUploader(X)
 
     # Column means: one streamed pass (scipy sparse .mean is O(nnz))
     if hasattr(X, 'mean') and not isinstance(X, np.ndarray):
@@ -187,7 +199,7 @@ def _pca_fit_row_streamed(X, n_components: int, oversample: int = 10,
         mo = mean @ M                                   # (k,)
         parts = []
         for s in range(0, n, rows):
-            xb = jnp.asarray(dense_rows(X, s, s + rows))
+            xb = up.rows(s, s + rows)
             parts.append(xb @ M - mo[None, :])
         return jnp.concatenate(parts, axis=0)
 
@@ -195,7 +207,7 @@ def _pca_fit_row_streamed(X, n_components: int, oversample: int = 10,
         """B = Q^T Xc, streamed: (k, f) accumulator on device."""
         B = -jnp.sum(Q, axis=0)[:, None] * mean[None, :]
         for s in range(0, n, rows):
-            xb = jnp.asarray(dense_rows(X, s, s + rows))
+            xb = up.rows(s, s + rows)
             B = B + Q[s:s + rows].T @ xb
         return B
 

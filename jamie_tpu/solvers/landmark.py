@@ -83,15 +83,19 @@ _FPS_BYTES_BUDGET = 2 << 30
 def _project_for_fps(arr, rng, dim: int = 256, chunk_rows: int = 8192):
     """Device-chunked random Gaussian projection for FPS on modalities too
     wide to sit on device in f32 (e.g. a raw 240k-feature atlas matrix):
-    pairwise distances survive a JL sketch, which is all FPS consumes."""
-    from ..core.hostmat import dense_rows
+    pairwise distances survive a JL sketch, which is all FPS consumes.
+    Host sources ship through the dtype-aware uploader (binary atlas
+    matrices go over the link bit-packed, 16x under the old f32)."""
+    from ..core.residency import ChunkUploader
 
     n, d = arr.shape
     proj = jnp.asarray(
         rng.randn(d, dim).astype(np.float32) / np.sqrt(dim))
+    up = None if isinstance(arr, jax.Array) else ChunkUploader(arr)
     out = []
     for s in range(0, n, chunk_rows):
-        xb = jnp.asarray(dense_rows(arr, s, s + chunk_rows))
+        xb = (arr[s:s + chunk_rows] if up is None
+              else up.rows(s, s + chunk_rows))
         out.append(xb @ proj)
     return jnp.concatenate(out, axis=0) if len(out) > 1 else out[0]
 
@@ -116,15 +120,18 @@ def _select_landmarks(x, n_landmarks: int, method: str, rng) -> np.ndarray:
 
 def _cell_to_landmark_weights(x, landmarks, k: int, block: int = 8192):
     """A (n, L) built in row blocks so the (n, L) distance intermediate
-    stays bounded; x and landmarks may be host or device arrays."""
-    from ..core.hostmat import dense_rows
+    stays bounded; x and landmarks may be host or device arrays. Host
+    sources ship through the dtype-aware uploader."""
+    from ..core.residency import ChunkUploader
 
     lm = jnp.asarray(np.asarray(landmarks), jnp.float32)
     n = x.shape[0]
     L = lm.shape[0]
+    up = None if isinstance(x, jax.Array) else ChunkUploader(x)
     parts = []
     for s in range(0, n, block):
-        xb = jnp.asarray(dense_rows(x, s, s + block), jnp.float32)
+        xb = (jnp.asarray(x[s:s + block], jnp.float32) if up is None
+              else up.rows(s, s + block))
         d2 = pairwise_sq_euclidean(xb, lm)
         parts.append(_interp_weights(d2, min(k, L), L))
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]

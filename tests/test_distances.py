@@ -196,3 +196,180 @@ def test_resident_build_chunked_matches_exact(monkeypatch):
         first = residency.device_bf16(X)
         assert first is residency.device_bf16(X)
         residency.clear_residency_cache()
+
+
+def test_resident_build_dtype_aware_formats():
+    """Round-4 dtype-aware residency (VERDICT item 3): every link format
+    (bits / u8 / CSR / bf16 fallback) reconstructs the same resident bf16
+    matrix as the plain bf16 ship, and the transfer counter shows the cut."""
+    import scipy.sparse as sp
+
+    from jamie_tpu.core import residency
+
+    rng = np.random.RandomState(11)
+    f = 96
+    cases = {
+        'binary01': (rng.rand(40, f) < 0.3).astype(np.float32),
+        'binary_scaled': 2.5 * (rng.rand(40, f) < 0.3).astype(np.float32),
+        'counts_u8': rng.poisson(3.0, (40, f)).clip(0, 255)
+                        .astype(np.float32),
+        'continuous': rng.randn(40, f).astype(np.float32),
+        'all_zero': np.zeros((40, f), np.float32),
+    }
+    expected_fmt_bytes = {
+        # per full 40 x 96 matrix: bits = 40*12, u8 = 40*96, bf16 = 2*40*96
+        'binary01': 40 * (f // 8),
+        'binary_scaled': 40 * (f // 8),
+        'counts_u8': 40 * f,
+        'continuous': 2 * 40 * f,
+        'all_zero': 0,
+    }
+    for name, X in cases.items():
+        residency.reset_transfer_stats()
+        dev = residency.build_resident_bf16(X, chunk_bytes=f * 2 * 16)
+        want = np.asarray(residency.host_bf16(X), np.float32)
+        np.testing.assert_array_equal(np.asarray(dev, np.float32), want,
+                                      err_msg=name)
+        stats = residency.transfer_stats()
+        assert stats['bytes'] == expected_fmt_bytes[name], \
+            (name, stats)
+        assert stats['bf16_equiv_bytes'] == 2 * 40 * f
+
+    # sparse CSR: low-density float values ship as indices + bf16 values
+    dense = np.zeros((64, 4096), np.float32)
+    mask = rng.rand(64, 4096) < 0.01
+    dense[mask] = rng.randn(mask.sum()).astype(np.float32)
+    X = sp.csr_matrix(dense)
+    residency.reset_transfer_stats()
+    dev = residency.build_resident_bf16(X, chunk_bytes=4096 * 2 * 16)
+    want = np.asarray(residency.host_bf16(dense), np.float32)
+    np.testing.assert_array_equal(np.asarray(dev, np.float32), want)
+    stats = residency.transfer_stats()
+    assert stats['bytes'] < 0.25 * stats['bf16_equiv_bytes'], stats
+
+    # sparse CSR with constant values: indices only
+    Xc = sp.csr_matrix((np.full(X.nnz, 3.0, np.float32), X.indices,
+                        X.indptr), shape=X.shape)
+    residency.reset_transfer_stats()
+    dev = residency.build_resident_bf16(Xc, chunk_bytes=4096 * 2 * 16)
+    np.testing.assert_array_equal(
+        np.asarray(dev, np.float32),
+        np.asarray(residency.host_bf16(Xc.toarray().astype(np.float32)),
+                   np.float32))
+
+    # mixed chunks: binary rows then continuous rows classify per chunk
+    # (chunks are clamped to >=64 rows, so use 64-row blocks)
+    Xm = np.vstack([(rng.rand(64, f) < 0.4).astype(np.float32),
+                    rng.randn(64, f).astype(np.float32)])
+    residency.reset_transfer_stats()
+    dev = residency.build_resident_bf16(Xm, chunk_bytes=f * 2 * 64)
+    np.testing.assert_array_equal(
+        np.asarray(dev, np.float32),
+        np.asarray(residency.host_bf16(Xm), np.float32))
+    stats = residency.transfer_stats()
+    assert stats['bytes'] == 64 * (f // 8) + 2 * 64 * f, stats
+
+
+def test_chunk_uploader_rows_cols_roundtrip():
+    """Round-4 ChunkUploader (the streamed-phase twin of the resident
+    build): every link format decodes back to the source block — exactly
+    for bits/u8/CSR-const/CSR-u8, to bf16 rounding for continuous — and
+    the backpressure window drains cleanly."""
+    import scipy.sparse as sp
+
+    from jamie_tpu.core import residency
+
+    rng = np.random.RandomState(13)
+    f = 96
+    exact_cases = {
+        'binary01': (rng.rand(40, f) < 0.3).astype(np.float32),
+        'binary_scaled': 1.5 * (rng.rand(40, f) < 0.3).astype(np.float32),
+        'counts_u8': rng.poisson(3.0, (40, f)).clip(0, 255)
+                        .astype(np.float32),
+        'all_zero': np.zeros((40, f), np.float32),
+    }
+    for name, X in exact_cases.items():
+        up = residency.ChunkUploader(X)
+        got = np.vstack([np.asarray(up.rows(s, s + 16))
+                         for s in range(0, 40, 16)])
+        np.testing.assert_array_equal(got, X, err_msg=name)
+        gc = np.hstack([np.asarray(up.cols(s, s + 32))
+                        for s in range(0, f, 32)])
+        np.testing.assert_array_equal(gc, X, err_msg=name)
+        up.drain()
+
+    # continuous: bf16 link rounding only
+    X = rng.randn(40, f).astype(np.float32)
+    up = residency.ChunkUploader(X)
+    got = np.asarray(up.rows(0, 40))
+    np.testing.assert_array_equal(
+        got, np.asarray(residency.host_bf16(X), np.float32))
+
+    # sparse CSR rows / CSC cols: u8-valued sparse round-trips exactly
+    dense = np.zeros((64, 512), np.float32)
+    mask = rng.rand(64, 512) < 0.02
+    dense[mask] = rng.randint(1, 9, mask.sum()).astype(np.float32)
+    residency.reset_transfer_stats()
+    up = residency.ChunkUploader(sp.csr_matrix(dense))
+    got = np.vstack([np.asarray(up.rows(s, s + 16))
+                     for s in range(0, 64, 16)])
+    np.testing.assert_array_equal(got, dense)
+    stats = residency.transfer_stats()
+    assert stats['bytes'] < 0.25 * stats['bf16_equiv_bytes'], stats
+    upc = residency.ChunkUploader(sp.csc_matrix(dense))
+    gc = np.hstack([np.asarray(upc.cols(s, s + 128))
+                    for s in range(0, 512, 128)])
+    np.testing.assert_array_equal(gc, dense)
+
+    # backpressure object: tiny window forces blocking, results unchanged
+    bp = residency._Backpressure(limit_bytes=64)
+    up2 = residency.ChunkUploader(dense, limit_bytes=64)
+    got2 = np.asarray(up2.rows(0, 64))
+    np.testing.assert_array_equal(got2, dense)
+    bp.drain()
+
+
+def test_bits2_per_column_two_valued_formats():
+    """Round-4 'bits2' link format: z-scored binary data (what every
+    reference notebook feeds JAMIE for binary ATAC) is two-valued PER
+    COLUMN — it ships as packed bits + per-column bf16 lo/hi and decodes
+    bit-identically to the plain bf16 ship."""
+    from jamie_tpu.core import residency
+
+    rng = np.random.RandomState(7)
+    n, f = 128, 96
+    b = (rng.rand(n, f) < 0.15).astype(np.float32)
+    b[:, :3] = 0.0                              # constant columns survive
+    mu, sd = b.mean(0), b.std(0)
+    X = (b - mu) / np.where(sd == 0, 1.0, sd)   # z-score, guard const cols
+    X = X.astype(np.float32)
+
+    kind, (lo, hi) = residency._classify_dense_chunk(X)
+    assert kind == 'bits2'
+    np.testing.assert_array_equal(lo, X.min(0))
+    np.testing.assert_array_equal(hi, X.max(0))
+
+    # resident build: bit-identical to the all-bf16 build, 1 bit/elem
+    residency.reset_transfer_stats()
+    dev = residency.build_resident_bf16(X, chunk_bytes=f * 2 * 64)
+    np.testing.assert_array_equal(
+        np.asarray(dev, np.float32),
+        np.asarray(residency.host_bf16(X), np.float32))
+    stats = residency.transfer_stats()
+    n_chunks = (n + 63) // 64
+    assert stats['bytes'] == n * (f // 8) + n_chunks * 2 * 2 * f, stats
+
+    # uploader rows/cols: decode matches the bf16-rounded source
+    want = np.asarray(residency.host_bf16(X), np.float32)
+    up = residency.ChunkUploader(X)
+    got = np.vstack([np.asarray(up.rows(s, s + 32))
+                     for s in range(0, n, 32)])
+    np.testing.assert_array_equal(got, want)
+    gc = np.hstack([np.asarray(up.cols(s, s + 32))
+                    for s in range(0, f, 32)])
+    np.testing.assert_array_equal(gc, want)
+
+    # continuous data must NOT classify bits2
+    kind2, _ = residency._classify_dense_chunk(
+        rng.randn(64, f).astype(np.float32))
+    assert kind2 == 'bf16'

@@ -107,7 +107,10 @@ def test_pca_streamed_matches_direct():
         streamed.components_, axis=1, keepdims=True)
     sv = np.linalg.svd(A @ Bc.T, compute_uv=False)
     assert sv.min() > 0.95, f'subspace angle too large: cos={sv.min()}'
-    np.testing.assert_allclose(streamed.mean_, direct.mean_, atol=1e-5)
+    # atol matches the resident-bf16 test: since round 4 the streamed path
+    # ships continuous chunks bf16 over the link (ChunkUploader), the same
+    # rounding the resident path applies — means derive from those chunks
+    np.testing.assert_allclose(streamed.mean_, direct.mean_, atol=5e-2)
 
 
 def test_pca_randomized_matches_exact():

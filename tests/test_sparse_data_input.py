@@ -130,15 +130,17 @@ def test_pca_row_streamed_tall_route(monkeypatch):
     monkeypatch.setattr(residency, 'DEFAULT_BUDGET_BYTES', 0)
     for X in (dense, csr):
         out = preprocess.PCA(5).fit_transform(X)
-        # randomized-vs-exact: captured variance per component...
+        # randomized-vs-exact: captured variance per component (rtol
+        # covers the round-4 ChunkUploader's bf16 link rounding of
+        # continuous values; sparse values also round to bf16)...
         np.testing.assert_allclose(np.linalg.norm(out, axis=0),
                                    np.linalg.norm(out_ref, axis=0),
-                                   rtol=1e-3)
+                                   rtol=1e-2)
         # ...and each component's direction (signed correlation; exact
         # elementwise equality is not a property of a randomized sketch)
         for j in range(5):
             r = np.corrcoef(out[:, j], out_ref[:, j])[0, 1]
-            assert r > 0.999, (j, r)
+            assert r > 0.995, (j, r)
 
 
 def test_pca_sparse_resident_route(monkeypatch):

@@ -146,13 +146,13 @@ def test_prng_impl_rbg_runs():
 
 
 def test_clip_adam_matches_optax_chain():
-    """The folded clip+Adam transformation (ops/fused_optimizer.py) matches
+    """The folded clip+Adam transformation (ops/ab_archive.clip_adam) matches
     optax.chain(clip_by_global_norm, adam) step for step, including steps
     where clipping activates."""
     import jax.numpy as jnp
     import optax
 
-    from jamie_tpu.ops.fused_optimizer import clip_adam
+    from jamie_tpu.ops.ab_archive import clip_adam
 
     rng = np.random.RandomState(2)
     params = {'a': jnp.asarray(rng.randn(32, 8), jnp.float32),
