@@ -190,24 +190,35 @@ def synth_scglue(seed=0):
     disk-cached by the SAME examples/synth.py generator time_and_memory.py
     uses — identical inputs make the two harnesses' scGLUE rows directly
     comparable (any difference is the axon pool's link/chip share, not data
-    provenance), and the ~10 GB cache is stored once instead of twice."""
+    provenance), and the ~10 GB cache is stored once instead of twice.
+
+    binarize1=0.05 (round 4): the ATAC modality is binary peaks z-scored
+    per column, matching what the reference's time-and-memory.ipynb
+    actually fed JAMIE (scanpy Chen-2019-ATAC -> preprocessing.scale).
+    The round-3 continuous-Gaussian ATAC was unrepresentatively EXPENSIVE
+    for the transfer-bound Distance phase (continuous data can only ship
+    bf16; two-valued columns ship as packed bits, 14-16x fewer bytes)."""
     sys.path.insert(0, os.path.join(
         os.path.dirname(os.path.abspath(__file__)), 'examples'))
     from synth import synthesize
-    return synthesize((9190, 28930), (9190, 241757), seed=seed)
+    return synthesize((9190, 28930), (9190, 241757), seed=seed,
+                      binarize1=0.05)
 
 
 def scglue_pipeline():
     """Full fit_transform at the scGLUE shape; the reference's de-facto
     whole-pipeline benchmark (52,557 s CPU)."""
     from jamie_tpu import JAMIE
+    from jamie_tpu.core.residency import reset_transfer_stats, transfer_stats
 
     data = synth_scglue()
+    reset_transfer_stats()
     t0 = time.perf_counter()
     jm = JAMIE(epoch_chunk=500, log_pd=2000, log_DNN=100_000,
                prng_impl='rbg', model_matmul_dtype='bfloat16')
     jm.fit_transform(dataset=data)
     seconds = time.perf_counter() - t0
+    xfer = transfer_stats()
     return {
         'scglue_pipeline_seconds': round(seconds, 1),
         'scglue_pipeline_vs_ref_cpu': round(SCGLUE_REF_SECONDS / seconds, 1),
@@ -216,6 +227,12 @@ def scglue_pipeline():
         # the axon pool's link/chip share swings ~4x hour to hour (measured
         # 13-65 MB/s); the split shows which phases absorbed the noise.
         'phases': getattr(jm, 'phase_timings', {}),
+        # Link bytes the dtype-aware residency actually shipped vs what the
+        # round-3 always-bf16 build would have shipped for the same data —
+        # the pool-noise-proof measure of the round-4 Distance-phase work
+        # (VERDICT round-3 item 3).
+        'upload_mb': round(xfer['bytes'] / 1e6, 1),
+        'upload_mb_bf16_equiv': round(xfer['bf16_equiv_bytes'] / 1e6, 1),
     }
 
 

@@ -16,16 +16,27 @@ import numpy as np
 SYNTH_CACHE = os.path.expanduser('~/.cache/jamie_tpu_bench')
 
 
-def synthesize(shape0, shape1, seed=0, latent=32):
+def synthesize(shape0, shape1, seed=0, latent=32, binarize1=None):
     """Spectrum-matched synthetic pair at the given shapes.
 
     Disk-cached under ~/.cache/jamie_tpu_bench and memmap-loaded on
     reruns: the single-core host generates normals at <25 MFLOP/s, so the
     widest shapes (scGLUE/DM_rep4) cost minutes each per regeneration that
     the harness shouldn't pay twice. Consumers treat the arrays as
-    read-only (fit_transform never mutates its inputs)."""
+    read-only (fit_transform never mutates its inputs).
+
+    binarize1: if set (a density in (0, 1)), modality 1 models BINARY
+    ATAC peaks fed through the reference's preprocessing: thresholded to
+    {0, 1} at the per-column (1 - density) quantile, then z-scored per
+    column — exactly what every reference notebook's
+    `preprocessing.scale` does to Chen-2019-ATAC before JAMIE
+    (notebooks/scGLUE.ipynb cell "Preprocessing"). The result is dense
+    but two-valued per column, the structure the dtype-aware link format
+    exploits. Cached under a distinct filename; modality 0's cache is
+    shared with the continuous variant."""
+    tags = ['', f'_zb{int(binarize1 * 100)}' if binarize1 else '']
     paths = [os.path.join(SYNTH_CACHE,
-                          f'tm_{s[0]}x{s[1]}_{seed}_{i}.npy')
+                          f'tm_{s[0]}x{s[1]}_{seed}_{i}{tags[i]}.npy')
              for i, s in enumerate((shape0, shape1))]
     if all(os.path.exists(p) for p in paths):
         return [np.load(p, mmap_mode='r') for p in paths]
@@ -34,7 +45,7 @@ def synthesize(shape0, shape1, seed=0, latent=32):
     n = shape0[0]
     z = rng.standard_normal((n, latent), dtype=np.float32)
 
-    def one(shape):
+    def one(shape, binarize=None):
         # feature-chunked so the noise generation for 242k-dim modalities
         # stays memory- and time-bounded
         out = np.empty((n, shape[1]), np.float32)
@@ -45,9 +56,14 @@ def synthesize(shape0, shape1, seed=0, latent=32):
             out[:, s:e] = z @ w
             out[:, s:e] += 0.3 * rng.standard_normal((n, e - s),
                                                      dtype=np.float32)
+            if binarize is not None:
+                tau = np.quantile(out[:, s:e], 1.0 - binarize, axis=0)
+                b = (out[:, s:e] > tau).astype(np.float32)
+                mu, sd = b.mean(axis=0), b.std(axis=0)
+                out[:, s:e] = (b - mu) / np.where(sd == 0, 1.0, sd)
         return out
 
-    data = [one(shape0), one(shape1)]
+    data = [one(shape0), one(shape1, binarize1)]
     try:
         os.makedirs(SYNTH_CACHE, exist_ok=True)
         for p, d in zip(paths, data):

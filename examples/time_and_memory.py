@@ -35,7 +35,12 @@ CONFIGS = {
     'dm_rep4': (('DM_rep4 BABEL', (4301, 34861), (4301, 85596)), 9565.1),
     'brainchromatin': (('BrainChromatin', (8981, 34104), (8981, 19836)),
                        49372.7),
-    'scglue': (('scGLUE', (9190, 28930), (9190, 241757)), 52557.4),
+    # scGLUE's ATAC arm models the REAL input: binary peaks z-scored per
+    # column (notebooks/scGLUE.ipynb feeds preprocessing.scale(ATAC) to
+    # JAMIE) — two-valued columns the dtype-aware link format ships as
+    # packed bits. The round-3 continuous variant remains reachable via
+    # synthesize(..., binarize1=None) for A/B.
+    'scglue': (('scGLUE', (9190, 28930), (9190, 241757)), 52557.4, 0.05),
 }
 
 
@@ -49,11 +54,13 @@ except ImportError:   # imported as a module rather than run as a script
 
 
 def run_config(name, shape0, shape1, ref_total, epoch_dnn=10000,
-               min_epochs=2500):
+               min_epochs=2500, binarize1=None):
     from jamie_tpu import JAMIE
+    from jamie_tpu.core.residency import reset_transfer_stats, transfer_stats
 
     _arm_watchdog()
-    dataset = synthesize(shape0, shape1)
+    dataset = synthesize(shape0, shape1, binarize1=binarize1)
+    reset_transfer_stats()
     jm = JAMIE(output_dim=32, batch_size=512, pca_dim=(512, 512),
                epoch_DNN=epoch_dnn, min_epochs=min_epochs,
                use_early_stop=True, log_DNN=100000,
@@ -74,6 +81,11 @@ def run_config(name, shape0, shape1, ref_total, epoch_dnn=10000,
         # link/chip share swings hour-to-hour; the split shows which
         # phase absorbed the noise)
         'phases': getattr(jm, 'phase_timings', {}),
+        # Link bytes the dtype-aware residency shipped vs the round-3
+        # always-bf16 equivalent — the pool-noise-proof transfer measure
+        'upload_mb': round(transfer_stats()['bytes'] / 1e6, 1),
+        'upload_mb_bf16_equiv': round(
+            transfer_stats()['bf16_equiv_bytes'] / 1e6, 1),
     }
 
 
@@ -97,11 +109,14 @@ def main():
 
     results = []
     for key in args.configs.split(','):
-        (name, s0, s1), ref_total = CONFIGS[key.strip()]
+        cfg = CONFIGS[key.strip()]
+        (name, s0, s1), ref_total = cfg[0], cfg[1]
+        binarize1 = cfg[2] if len(cfg) > 2 else None
         print(f'=== {name} {s0} {s1} ===')
         res = run_config(name, s0, s1, ref_total,
                          epoch_dnn=args.epoch_dnn,
-                         min_epochs=args.min_epochs)
+                         min_epochs=args.min_epochs,
+                         binarize1=binarize1)
         print(json.dumps(res))
         results.append(res)
     print(json.dumps(results, indent=2))
