@@ -2,10 +2,20 @@
 
 Train/test split; JAMIE cross-modal imputation vs kNN regression and the
 simple-NN baseline; per-feature correlation + AUROC comparison figures and
-a summary JSON. Synthetic paired data unless real matrices are supplied.
+a summary JSON. Two modes:
+
+  (default)          synthetic branching pair, single split — the quick
+                     structural mirror of the notebook.
+  --scgem [--seeds K]  the REAL scGEM 80/20 split repeated over K seeds
+                     (VERDICT round-3 item 7): JAMIE vs kNN vs simple-NN
+                     per-feature Pearson r on held-out cells, mean +- sd,
+                     committed next to the JS numbers in RESULTS.md.
+                     Reference baselines: jamie/utilities.py:423-474.
 """
 
 import json
+import sys
+import time
 
 import numpy as np
 
@@ -73,5 +83,71 @@ def main():
     print(json.dumps(results, indent=2))
 
 
+def scgem_multi_seed(n_seeds: int = 5, quick: bool = False):
+    """JAMIE vs kNN vs simple-NN cross-modal imputation on the real scGEM
+    80/20 split, n_seeds independent splits. Per-feature Pearson r on test
+    cells per modality (higher is better), mean +- sd per method."""
+    from scgem import KWARGS, load_scgem
+
+    from jamie_tpu import JAMIE
+    from jamie_tpu.models.baselines import predict_nn
+    from jamie_tpu.utils import predict_knn
+
+    dataset, types = load_scgem()
+    n = len(dataset[0])
+    kwargs = {k: v for k, v in KWARGS.items() if k != 'dropout'}
+    if quick:
+        kwargs.update(epoch_DNN=2000, min_epochs=500, epoch_pd=500)
+
+    def mean_r(pred, i, test_idx):
+        p, t = pred[test_idx], dataset[i][test_idx]
+        rs = [np.corrcoef(p[:, j], t[:, j])[0, 1]
+              for j in range(t.shape[1]) if np.std(t[:, j]) > 0]
+        return float(np.nanmean(rs))
+
+    per = {}
+    t0 = time.perf_counter()
+    for seed in range(n_seeds):
+        np.random.seed(seed)
+        train_idx = np.random.choice(n, int(0.8 * n), replace=False)
+        test_idx = np.array(sorted(set(range(n)) - set(train_idx)))
+        train = [d[train_idx] for d in dataset]
+
+        jm = JAMIE(manual_seed=seed, **kwargs)
+        jm.fit_transform(dataset=train)
+        preds = {
+            'jamie': [jm.modal_predict(dataset[(i + 1) % 2], (i + 1) % 2)
+                      for i in range(2)],
+            'knn': [predict_knn(train[1], train[0], val=dataset[1]),
+                    predict_knn(train[0], train[1], val=dataset[0])],
+            'nn': [predict_nn(train[1], train[0], val=dataset[1],
+                              epochs=200, seed=seed),
+                   predict_nn(train[0], train[1], val=dataset[0],
+                              epochs=200, seed=seed)],
+        }
+        row = {}
+        for method, pr in preds.items():
+            for i in range(2):
+                row[f'{method}_r_mod{i + 1}'] = round(
+                    mean_r(pr[i], i, test_idx), 4)
+        print(f'seed {seed}:', json.dumps(row), flush=True)
+        for k, v in row.items():
+            per.setdefault(k, []).append(v)
+
+    results = {'n_seeds': n_seeds, 'dataset': 'scGEM (real, 80/20)',
+               'total_seconds': round(time.perf_counter() - t0, 1)}
+    for k, v in per.items():
+        results[k + '_mean'] = round(float(np.mean(v)), 4)
+        results[k + '_sd'] = round(float(np.std(v)), 4)
+        results[k + '_runs'] = v
+    print(json.dumps(results, indent=2))
+    return results
+
+
 if __name__ == '__main__':
-    main()
+    if '--scgem' in sys.argv:
+        k = (sys.argv.index('--seeds') + 1) if '--seeds' in sys.argv else None
+        scgem_multi_seed(n_seeds=int(sys.argv[k]) if k else 5,
+                         quick='--quick' in sys.argv)
+    else:
+        main()

@@ -175,6 +175,55 @@ def multi_seed(n_seeds: int = 5, quick: bool = False):
     return results
 
 
+def ablation(n_seeds: int = 5, quick: bool = False):
+    """Per-knob quality ablation on scGEM (VERDICT round-4 item 2): does any
+    default of the round-3 perf stack cost quality at N=177? Arms are the
+    full-config fit (FOSCTTM + LTA only) at n_seeds seeds each:
+
+      default   f32 matmuls, default (threefry) prng   [= scgem.py KWARGS]
+      rbg       prng_impl='rbg'                        [bench.py stack knob]
+      bf16      model_matmul_dtype='bfloat16'          [bench.py stack knob]
+      rbg+bf16  both                                   [the full bench stack]
+
+    Compare each arm's band against the default arm (same seeds) and the
+    reference point 0.887 LTA / 0.0068 FOSCTTM (scGEM.ipynb cell 25)."""
+    from jamie_tpu import JAMIE
+
+    dataset, types = load_scgem()
+    kwargs = dict(KWARGS)
+    if quick:
+        kwargs.update(epoch_DNN=2000, min_epochs=500, epoch_pd=500)
+
+    arms = {
+        'default': {},
+        'rbg': {'prng_impl': 'rbg'},
+        'bf16': {'model_matmul_dtype': 'bfloat16'},
+        'rbg+bf16': {'prng_impl': 'rbg', 'model_matmul_dtype': 'bfloat16'},
+    }
+    results = {'n_seeds': n_seeds,
+               'reference': {'foscttm': 0.00680, 'lta': 0.8870}}
+    t0 = time.perf_counter()
+    for arm, extra in arms.items():
+        fos, lta = [], []
+        for seed in range(n_seeds):
+            jm = JAMIE(manual_seed=seed, **{**kwargs, **extra})
+            jm.fit_transform(dataset=dataset)
+            jm_data = jm.transform(dataset=dataset)
+            fos.append(float(jm.test_closer(jm_data)))
+            lta.append(float(jm.test_LabelTA(jm_data, types)))
+        results[arm] = {
+            'foscttm_mean': round(float(np.mean(fos)), 5),
+            'foscttm_sd': round(float(np.std(fos)), 5),
+            'lta_mean': round(float(np.mean(lta)), 5),
+            'lta_sd': round(float(np.std(lta)), 5),
+            'lta_runs': [round(v, 5) for v in lta],
+        }
+        print(f'arm {arm}:', json.dumps(results[arm]), flush=True)
+    results['total_seconds'] = round(time.perf_counter() - t0, 1)
+    print(json.dumps(results, indent=2))
+    return results
+
+
 def main(quick: bool = False):
     from jamie_tpu import JAMIE
 
@@ -222,7 +271,10 @@ def main(quick: bool = False):
 
 
 if __name__ == '__main__':
-    if '--imputation-seeds' in sys.argv:
+    if '--ablation-seeds' in sys.argv:
+        k = sys.argv.index('--ablation-seeds')
+        ablation(n_seeds=int(sys.argv[k + 1]), quick='--quick' in sys.argv)
+    elif '--imputation-seeds' in sys.argv:
         k = sys.argv.index('--imputation-seeds')
         imputation_multi_seed(n_seeds=int(sys.argv[k + 1]),
                               quick='--quick' in sys.argv)
