@@ -328,19 +328,28 @@ class PCA:
         return self
 
     def transform(self, X, row_chunk_bytes: int = 2 << 30):
-        from .core.hostmat import dense_rows, is_scipy_sparse
+        from .core.hostmat import is_scipy_sparse
+        from .core.residency import ChunkUploader
         if not is_scipy_sparse(X):
             X = np.asarray(X, np.float32)
         comps_t = jnp.asarray(self.components_).T
         mean = jnp.asarray(self.mean_)
         n, f = X.shape
         if n * f * 4 <= row_chunk_bytes and not is_scipy_sparse(X):
+            # small matrices ship exact f32 (no link rounding)
             return np.asarray(_pca_project(jnp.asarray(X), mean, comps_t))
-        # Row-chunked projection so huge matrices never sit whole in HBM
-        # (and sparse inputs densify one row block at a time)
+        # Row-chunked projection so huge matrices never sit whole in HBM.
+        # Past the package-wide 100M-element bf16 threshold chunks go
+        # through the dtype-aware uploader (binary/int/sparse sources put
+        # 2-16x fewer bytes on the link, continuous rounds to bf16 — the
+        # policy the resident distance path applies at the same sizes);
+        # below it they ship exact f32.
+        from .core.hostmat import dense_rows
         rows = max(int(row_chunk_bytes / (f * 4)), 64)
-        out = [np.asarray(_pca_project(jnp.asarray(dense_rows(X, s, s + rows)),
-                                       mean, comps_t))
+        up = ChunkUploader(X) if n * f >= 100_000_000 else None
+        blk = ((lambda s: up.rows(s, s + rows)) if up is not None
+               else (lambda s: jnp.asarray(dense_rows(X, s, s + rows))))
+        out = [np.asarray(_pca_project(blk(s), mean, comps_t))
                for s in range(0, n, rows)]
         return np.concatenate(out, axis=0)
 

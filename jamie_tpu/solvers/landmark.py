@@ -121,17 +121,25 @@ def _select_landmarks(x, n_landmarks: int, method: str, rng) -> np.ndarray:
 def _cell_to_landmark_weights(x, landmarks, k: int, block: int = 8192):
     """A (n, L) built in row blocks so the (n, L) distance intermediate
     stays bounded; x and landmarks may be host or device arrays. Host
-    sources ship through the dtype-aware uploader."""
+    sources past the package-wide 100M-element bf16 threshold ship
+    through the dtype-aware uploader; smaller ones ship exact f32."""
     from ..core.residency import ChunkUploader
 
     lm = jnp.asarray(np.asarray(landmarks), jnp.float32)
     n = x.shape[0]
     L = lm.shape[0]
-    up = None if isinstance(x, jax.Array) else ChunkUploader(x)
+    from ..core.hostmat import dense_rows
+    big = int(n) * int(x.shape[1]) >= 100_000_000
+    up = (ChunkUploader(x)
+          if big and not isinstance(x, jax.Array) else None)
     parts = []
     for s in range(0, n, block):
-        xb = (jnp.asarray(x[s:s + block], jnp.float32) if up is None
-              else up.rows(s, s + block))
+        if up is not None:
+            xb = up.rows(s, s + block)
+        elif isinstance(x, jax.Array):
+            xb = x[s:s + block].astype(jnp.float32)
+        else:
+            xb = jnp.asarray(dense_rows(x, s, s + block))
         d2 = pairwise_sq_euclidean(xb, lm)
         parts.append(_interp_weights(d2, min(k, L), L))
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
