@@ -230,9 +230,12 @@ def scglue_pipeline():
         # Link bytes the dtype-aware residency actually shipped vs what the
         # round-3 always-bf16 build would have shipped for the same data —
         # the pool-noise-proof measure of the round-4 Distance-phase work
-        # (VERDICT round-3 item 3).
+        # (VERDICT round-3 item 3) — plus the host-side read/encode split
+        # so a slow Distance phase is attributable (disk vs CPU vs link).
         'upload_mb': round(xfer['bytes'] / 1e6, 1),
         'upload_mb_bf16_equiv': round(xfer['bf16_equiv_bytes'] / 1e6, 1),
+        'host_read_s': round(xfer['read_s'], 1),
+        'host_encode_s': round(xfer['encode_s'], 1),
     }
 
 

@@ -82,10 +82,13 @@ def run_config(name, shape0, shape1, ref_total, epoch_dnn=10000,
         # phase absorbed the noise)
         'phases': getattr(jm, 'phase_timings', {}),
         # Link bytes the dtype-aware residency shipped vs the round-3
-        # always-bf16 equivalent — the pool-noise-proof transfer measure
+        # always-bf16 equivalent — the pool-noise-proof transfer measure —
+        # plus the host read/encode seconds behind them
         'upload_mb': round(transfer_stats()['bytes'] / 1e6, 1),
         'upload_mb_bf16_equiv': round(
             transfer_stats()['bf16_equiv_bytes'] / 1e6, 1),
+        'host_read_s': round(transfer_stats()['read_s'], 1),
+        'host_encode_s': round(transfer_stats()['encode_s'], 1),
     }
 
 

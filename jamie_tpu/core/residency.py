@@ -23,6 +23,7 @@ preprocess) treat their inputs as read-only.
 
 from __future__ import annotations
 
+import time
 import warnings
 import weakref
 from functools import partial
@@ -63,8 +64,12 @@ _insert_jits: dict = {}
 # Link-transfer accounting for the resident builds (VERDICT round-3 item 3:
 # report MB actually shipped so pool noise can't fake a Distance-phase win).
 # bytes = what the link carried; bf16_equiv_bytes = what the round-3
-# always-bf16 build would have carried for the same data.
-_transfer = {'bytes': 0, 'bf16_equiv_bytes': 0}
+# always-bf16 build would have carried for the same data; read_s = host
+# time reading/densifying source chunks; encode_s = host time classifying
+# + packing + casting them (splits a slow Distance phase into disk, CPU,
+# and link components).
+_transfer = {'bytes': 0, 'bf16_equiv_bytes': 0, 'read_s': 0.0,
+             'encode_s': 0.0}
 
 
 def transfer_stats() -> dict:
@@ -72,8 +77,7 @@ def transfer_stats() -> dict:
 
 
 def reset_transfer_stats() -> None:
-    _transfer['bytes'] = 0
-    _transfer['bf16_equiv_bytes'] = 0
+    _transfer.update(bytes=0, bf16_equiv_bytes=0, read_s=0.0, encode_s=0.0)
 
 
 def _get_insert_jits():
@@ -236,10 +240,12 @@ class _Backpressure:
 
 
 def _ship_dense_chunk(resident, x, s, jits, jnp, bp=None):
+    t0 = time.perf_counter()
     kind, scale = _classify_dense_chunk(x)
     start = jnp.asarray(s, jnp.int32)
     if kind == 'bits':
         packed = np.packbits(x != 0, axis=1)
+        _transfer['encode_s'] += time.perf_counter() - t0
         if not packed.any():
             return resident   # all-zero chunk: resident is already zeros
         _transfer['bytes'] += packed.nbytes
@@ -252,6 +258,7 @@ def _ship_dense_chunk(resident, x, s, jits, jnp, bp=None):
         lo, hi = scale
         packed = np.packbits(x == hi, axis=1)
         lo_b, hi_b = host_bf16(lo), host_bf16(hi)
+        _transfer['encode_s'] += time.perf_counter() - t0
         _transfer['bytes'] += packed.nbytes + lo_b.nbytes + hi_b.nbytes
         devs = [jnp.asarray(p) for p in (packed, lo_b, hi_b)]
         if bp is not None:
@@ -259,12 +266,14 @@ def _ship_dense_chunk(resident, x, s, jits, jnp, bp=None):
         return jits['bits2'](resident, *devs, start)
     if kind == 'u8':
         xb = np.ascontiguousarray(x, np.uint8)
+        _transfer['encode_s'] += time.perf_counter() - t0
         _transfer['bytes'] += xb.nbytes
         dev = jnp.asarray(xb)
         if bp is not None:
             bp.add(dev)
         return jits['u8'](resident, dev, start)
     xb = host_bf16(x)
+    _transfer['encode_s'] += time.perf_counter() - t0
     _transfer['bytes'] += xb.nbytes
     dev = jnp.asarray(xb)
     if bp is not None:
@@ -311,7 +320,9 @@ def _ship_csr_chunk(resident, chunk, s, f, jits, jnp, bp=None):
     when they'd put fewer bytes on the link."""
     if int(chunk.nnz) == 0:
         return resident   # already zeros
+    t0 = time.perf_counter()
     enc = _encode_csr_chunk(chunk, f)
+    _transfer['encode_s'] += time.perf_counter() - t0
     if enc is None:
         from .hostmat import densify
         return _ship_dense_chunk(resident, densify(chunk), s, jits, jnp, bp)
@@ -359,11 +370,15 @@ def build_resident_bf16(arr, chunk_bytes: int = 256 << 20):
     for s in range(0, n, rows):
         _transfer['bf16_equiv_bytes'] += 2 * min(rows, n - s) * f
         if sparse_in:
-            resident = _ship_csr_chunk(resident, arr[s:s + rows], s, f,
-                                       jits, jnp, bp)
+            t0 = time.perf_counter()
+            chunk = arr[s:s + rows]
+            _transfer['read_s'] += time.perf_counter() - t0
+            resident = _ship_csr_chunk(resident, chunk, s, f, jits, jnp, bp)
         else:
-            resident = _ship_dense_chunk(
-                resident, dense_rows(arr, s, s + rows), s, jits, jnp, bp)
+            t0 = time.perf_counter()
+            x = dense_rows(arr, s, s + rows)
+            _transfer['read_s'] += time.perf_counter() - t0
+            resident = _ship_dense_chunk(resident, x, s, jits, jnp, bp)
     return jax.block_until_ready(resident)
 
 
@@ -447,12 +462,14 @@ class ChunkUploader:
     def _block_f32(self, block_csr_or_dense, r, f):
         import jax.numpy as jnp
         dec = _get_decode_jits()
+        t0 = time.perf_counter()
         if self.sparse:
             chunk = block_csr_or_dense
             if int(chunk.nnz) == 0:
                 return jnp.zeros((r, f), jnp.float32)
             enc = _encode_csr_chunk(chunk, f)
             if enc is not None:
+                _transfer['encode_s'] += time.perf_counter() - t0
                 kind, payload, link_bytes = enc
                 _transfer['bytes'] += link_bytes
                 devs = [jnp.asarray(p) for p in payload]
@@ -462,9 +479,12 @@ class ChunkUploader:
             x = densify(chunk)
         else:
             x = np.ascontiguousarray(block_csr_or_dense, np.float32)
+        _transfer['read_s'] += time.perf_counter() - t0
+        t0 = time.perf_counter()
         kind, scale = _classify_dense_chunk(x)
         if kind == 'bits':
             packed = np.packbits(x != 0, axis=1)
+            _transfer['encode_s'] += time.perf_counter() - t0
             if not packed.any():
                 return jnp.zeros((r, f), jnp.float32)
             _transfer['bytes'] += packed.nbytes
@@ -475,6 +495,7 @@ class ChunkUploader:
             lo, hi = scale
             packed = np.packbits(x == hi, axis=1)
             lo_b, hi_b = host_bf16(lo), host_bf16(hi)
+            _transfer['encode_s'] += time.perf_counter() - t0
             _transfer['bytes'] += packed.nbytes + lo_b.nbytes + hi_b.nbytes
             devs = [jnp.asarray(p) for p in (packed, lo_b, hi_b)]
             self.bp.add(*devs)
@@ -483,6 +504,7 @@ class ChunkUploader:
             xb = np.ascontiguousarray(x, np.uint8)
         else:
             xb = host_bf16(x)
+        _transfer['encode_s'] += time.perf_counter() - t0
         _transfer['bytes'] += xb.nbytes
         dev = jnp.asarray(xb)
         self.bp.add(dev)
