@@ -83,7 +83,27 @@ def main_sparse_data(args):
         'label_transfer_k': int(k),
         'metric_seconds': round(time.perf_counter() - t1, 1),
         'hbm': device_memory_stats(),
+        'peak_rss_gb': _peak_rss_gb(),
+        'transfer': {k: (round(v, 1) if isinstance(v, float)
+                         else round(v / 1e6, 1))
+                     for k, v in _xfer().items()},
     }))
+
+
+def _peak_rss_gb():
+    """Peak host RSS (GB) from the kernel's accounting — the number the
+    round-4 OOM post-mortem cares about (python hit 131 GB pre-fix)."""
+    try:
+        import resource
+        return round(resource.getrusage(
+            resource.RUSAGE_SELF).ru_maxrss / 1e6, 2)
+    except Exception:
+        return None
+
+
+def _xfer():
+    from jamie_tpu.core.residency import transfer_stats
+    return transfer_stats()
 
 
 def main():

@@ -32,7 +32,11 @@ CONFIGS = {
     'scmultisim': (('scMultiSim-1250', (500, 1250), (500, 3750)), 481.9),
     'scmnc_motor': (('scMNC-Motor', (1208, 1286), (1208, 29)), 526.5),
     'scmnc_visual': (('scMNC-Visual', (3654, 1302), (3654, 39)), 5629.7),
-    'dm_rep4': (('DM_rep4 BABEL', (4301, 34861), (4301, 85596)), 9565.1),
+    # DM_rep4's ATAC arm is binary in the reference too (BABEL snareseq
+    # peaks; notebooks/time-and-memory.ipynb cell 21 feeds
+    # preprocessing.scale of it) — same representative treatment as scGLUE
+    'dm_rep4': (('DM_rep4 BABEL', (4301, 34861), (4301, 85596)), 9565.1,
+                0.05),
     'brainchromatin': (('BrainChromatin', (8981, 34104), (8981, 19836)),
                        49372.7),
     # scGLUE's ATAC arm models the REAL input: binary peaks z-scored per
