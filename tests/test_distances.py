@@ -344,10 +344,11 @@ def test_bits2_per_column_two_valued_formats():
     X = (b - mu) / np.where(sd == 0, 1.0, sd)   # z-score, guard const cols
     X = X.astype(np.float32)
 
-    kind, (lo, hi) = residency._classify_dense_chunk(X)
+    kind, (lo, hi, eq_hi) = residency._classify_dense_chunk(X)
     assert kind == 'bits2'
     np.testing.assert_array_equal(lo, X.min(0))
     np.testing.assert_array_equal(hi, X.max(0))
+    np.testing.assert_array_equal(eq_hi, X == X.max(0))
 
     # resident build: bit-identical to the all-bf16 build, 1 bit/elem
     residency.reset_transfer_stats()
