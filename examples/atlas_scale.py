@@ -11,10 +11,16 @@ Usage: python examples/atlas_scale.py [--cells 100000] [--epochs 100]
 """
 
 import argparse
+import faulthandler
 import json
+import signal
 import time
 
 import numpy as np
+
+# timeout(1) kills with SIGTERM; dump the stack first so a killed run
+# says WHERE it was (the 100k leg has been killed twice now)
+faulthandler.register(signal.SIGTERM, all_threads=True, chain=False)
 
 
 def make_multiome(n=100_000, d_rna=512, d_atac=512, seed=0):

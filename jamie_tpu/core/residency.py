@@ -126,20 +126,44 @@ def _get_insert_jits():
         xb = jnp.where(bits.astype(bool), hi[None, :], lo[None, :])
         return jax.lax.dynamic_update_slice(resident, xb, (start, 0))
 
-    @partial(jax.jit, donate_argnums=(0,))
-    def ins_csr(resident, indptr, cols, vals, start):
-        # padded entries carry cols == F (out of bounds) -> mode='drop'
+    def _csr_flat(indptr, cols, r, f):
+        # Flat scatter index with sorted+unique promises: rows from the
+        # indptr are nondecreasing, cols are canonical-sorted within each
+        # row (the encoder calls sort_indices), so flat = row*(f+1)+col is
+        # strictly increasing over valid entries. TPU scatter with the
+        # indices_are_sorted/unique_indices hints lowers to a vectorized
+        # path; the generic 2D scatter-add serialized at atlas-scale nnz.
+        # Pad entries (cols == f) are spread past r*(f+1) so the unique
+        # promise holds for dropped entries too. r*(f+1) < 2^31 because
+        # chunks are sized <= 1 GB of f32.
         rows = jnp.searchsorted(indptr, jnp.arange(cols.shape[0]),
                                 side='right').astype(jnp.int32) - 1
-        return resident.at[rows + start, cols].add(
-            vals.astype(bf16), mode='drop')
+        flat = rows * (f + 1) + cols
+        return flat + jnp.where(
+            cols == f, jnp.arange(cols.shape[0], dtype=jnp.int32), 0)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def ins_csr(resident, indptr, cols, vals, start):
+        n, f = resident.shape
+        r = indptr.shape[0] - 1
+        flat = _csr_flat(indptr, cols, r, f)
+        blk = jnp.zeros((r * (f + 1),), bf16)
+        blk = blk.at[flat].set(vals.astype(bf16), mode='drop',
+                               unique_indices=True, indices_are_sorted=True)
+        return jax.lax.dynamic_update_slice(
+            resident, blk.reshape(r, f + 1)[:, :f], (start, 0))
 
     @partial(jax.jit, donate_argnums=(0,))
     def ins_csr_const(resident, indptr, cols, scale, start):
-        rows = jnp.searchsorted(indptr, jnp.arange(cols.shape[0]),
-                                side='right').astype(jnp.int32) - 1
+        n, f = resident.shape
+        r = indptr.shape[0] - 1
+        flat = _csr_flat(indptr, cols, r, f)
         vals = jnp.full(cols.shape, 1, bf16) * scale.astype(bf16)
-        return resident.at[rows + start, cols].add(vals, mode='drop')
+        blk = jnp.zeros((r * (f + 1),), bf16)
+        blk = blk.at[flat].set(vals, mode='drop', unique_indices=True,
+                               indices_are_sorted=True)
+        return jax.lax.dynamic_update_slice(
+            resident, blk.reshape(r, f + 1)[:, :f], (start, 0))
 
     _insert_jits.update(bf16=ins_bf16, u8=ins_u8, bits=ins_bits,
                         bits2=ins_bits2, csr=ins_csr,
@@ -310,6 +334,8 @@ def _encode_csr_chunk(chunk, f):
 
     nnz = int(chunk.nnz)
     r = chunk.shape[0]
+    if not chunk.has_sorted_indices:
+        chunk.sort_indices()   # the decode's sorted-scatter relies on it
     vkind, c = _classify_vals(chunk.data)
     val_bytes = {'const': 0, 'u8': 1, 'bf16': 2}[vkind]
     csr_bytes = 4 * (_nnz_bucket(nnz) + r + 1) + _nnz_bucket(nnz) * val_bytes
@@ -436,20 +462,29 @@ def _get_decode_jits():
     def dec_plain(xb, f):
         return xb[:, :f].astype(jnp.float32)
 
-    @partial(jax.jit, static_argnames=('f', 'r'))
-    def dec_csr(indptr, cols, vals, r, f):
+    def _csr_flat(indptr, cols, f):
+        # see _get_insert_jits._csr_flat: sorted+unique flat scatter index
         rows = jnp.searchsorted(indptr, jnp.arange(cols.shape[0]),
                                 side='right').astype(jnp.int32) - 1
-        out = jnp.zeros((r, f), jnp.float32)
-        return out.at[rows, cols].add(vals.astype(jnp.float32), mode='drop')
+        flat = rows * (f + 1) + cols
+        return flat + jnp.where(
+            cols == f, jnp.arange(cols.shape[0], dtype=jnp.int32), 0)
+
+    @partial(jax.jit, static_argnames=('f', 'r'))
+    def dec_csr(indptr, cols, vals, r, f):
+        flat = _csr_flat(indptr, cols, f)
+        out = jnp.zeros((r * (f + 1),), jnp.float32)
+        out = out.at[flat].set(vals.astype(jnp.float32), mode='drop',
+                               unique_indices=True, indices_are_sorted=True)
+        return out.reshape(r, f + 1)[:, :f]
 
     @partial(jax.jit, static_argnames=('f', 'r'))
     def dec_csr_const(indptr, cols, scale, r, f):
-        rows = jnp.searchsorted(indptr, jnp.arange(cols.shape[0]),
-                                side='right').astype(jnp.int32) - 1
-        out = jnp.zeros((r, f), jnp.float32)
-        return out.at[rows, cols].add(scale.astype(jnp.float32),
-                                      mode='drop')
+        flat = _csr_flat(indptr, cols, f)
+        out = jnp.zeros((r * (f + 1),), jnp.float32)
+        out = out.at[flat].set(scale.astype(jnp.float32), mode='drop',
+                               unique_indices=True, indices_are_sorted=True)
+        return out.reshape(r, f + 1)[:, :f]
 
     _decode_jits.update(bits=dec_bits, bits2=dec_bits2, u8=dec_plain,
                         bf16=dec_plain, csr=dec_csr,

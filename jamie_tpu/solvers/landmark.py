@@ -132,6 +132,9 @@ def _cell_to_landmark_weights(x, landmarks, k: int, block: int = 8192):
     big = int(n) * int(x.shape[1]) >= 100_000_000
     up = (ChunkUploader(x)
           if big and not isinstance(x, jax.Array) else None)
+    import time as _time
+    verbose = n >= 50_000   # atlas scale: show block progress like the
+    t0 = _time.perf_counter()  # prime-dual epoch log does
     parts = []
     for s in range(0, n, block):
         if up is not None:
@@ -142,6 +145,9 @@ def _cell_to_landmark_weights(x, landmarks, k: int, block: int = 8192):
             xb = jnp.asarray(dense_rows(x, s, s + block))
         d2 = pairwise_sq_euclidean(xb, lm)
         parts.append(_interp_weights(d2, min(k, L), L))
+        if verbose:
+            print(f'landmark weights: rows [{min(s + block, n)}/{n}] '
+                  f'{_time.perf_counter() - t0:.1f}s', flush=True)
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
