@@ -64,6 +64,8 @@ def run_config(name, shape0, shape1, ref_total, epoch_dnn=10000,
 
     _arm_watchdog()
     dataset = synthesize(shape0, shape1, binarize1=binarize1)
+    from jamie_tpu.core.residency import enable_encode_cache
+    enable_encode_cache()   # replay link payloads for disk-backed sources
     reset_transfer_stats()
     jm = JAMIE(output_dim=32, batch_size=512, pca_dim=(512, 512),
                epoch_DNN=epoch_dnn, min_epochs=min_epochs,

@@ -284,46 +284,44 @@ class _Backpressure:
         self._bytes = 0
 
 
-def _ship_dense_chunk(resident, x, s, jits, jnp, bp=None):
-    t0 = time.perf_counter()
+def _encode_dense_chunk(x):
+    """Host-side link encoding of a dense f32 chunk: (kind, payload numpy
+    arrays, link_bytes). Pure function of the chunk's values — cacheable."""
     kind, scale = _classify_dense_chunk(x)
-    start = jnp.asarray(s, jnp.int32)
     if kind == 'bits':
         packed = np.packbits(x != 0, axis=1)
-        _transfer['encode_s'] += time.perf_counter() - t0
-        if not packed.any():
-            return resident   # all-zero chunk: resident is already zeros
-        _transfer['bytes'] += packed.nbytes
-        dev = jnp.asarray(packed)
-        if bp is not None:
-            bp.add(dev)
-        return jits['bits'](resident, dev,
-                            jnp.asarray(scale, np.float32), start)
+        return 'bits', (packed, np.float32(scale)), packed.nbytes
     if kind == 'bits2':
         lo, hi, eq_hi = scale
         packed = np.packbits(eq_hi, axis=1)
         lo_b, hi_b = host_bf16(lo), host_bf16(hi)
-        _transfer['encode_s'] += time.perf_counter() - t0
-        _transfer['bytes'] += packed.nbytes + lo_b.nbytes + hi_b.nbytes
-        devs = [jnp.asarray(p) for p in (packed, lo_b, hi_b)]
-        if bp is not None:
-            bp.add(*devs)
-        return jits['bits2'](resident, *devs, start)
+        return ('bits2', (packed, lo_b, hi_b),
+                packed.nbytes + lo_b.nbytes + hi_b.nbytes)
     if kind == 'u8':
         xb = np.ascontiguousarray(x, np.uint8)
-        _transfer['encode_s'] += time.perf_counter() - t0
-        _transfer['bytes'] += xb.nbytes
-        dev = jnp.asarray(xb)
-        if bp is not None:
-            bp.add(dev)
-        return jits['u8'](resident, dev, start)
+        return 'u8', (xb,), xb.nbytes
     xb = host_bf16(x)
-    _transfer['encode_s'] += time.perf_counter() - t0
-    _transfer['bytes'] += xb.nbytes
-    dev = jnp.asarray(xb)
+    return 'bf16', (xb,), xb.nbytes
+
+
+def _ship_encoded(resident, kind, payload, link_bytes, s, jits, jnp,
+                  bp=None):
+    if kind == 'bits' and not payload[0].any():
+        return resident   # all-zero chunk: resident is already zeros
+    _transfer['bytes'] += link_bytes
+    start = jnp.asarray(s, jnp.int32)
+    devs = [jnp.asarray(p) for p in payload]
     if bp is not None:
-        bp.add(dev)
-    return jits['bf16'](resident, dev, start)
+        bp.add(*devs)
+    return jits[kind](resident, *devs, start)
+
+
+def _ship_dense_chunk(resident, x, s, jits, jnp, bp=None):
+    t0 = time.perf_counter()
+    kind, payload, link_bytes = _encode_dense_chunk(x)
+    _transfer['encode_s'] += time.perf_counter() - t0
+    return _ship_encoded(resident, kind, payload, link_bytes, s, jits, jnp,
+                         bp)
 
 
 def _encode_csr_chunk(chunk, f):
@@ -359,6 +357,94 @@ def _encode_csr_chunk(chunk, f):
         vals[:nnz] = host_bf16(np.asarray(chunk.data, np.float32))
     return ('csr', (indptr, cols, vals),
             cols.nbytes + indptr.nbytes + vals.nbytes)
+
+
+# --------------------------------------------------------------------------
+# Encode cache: file-backed sources (np.load(..., mmap_mode='r') memmaps)
+# key their per-chunk link payloads on (realpath, mtime, size, shape,
+# chunk_rows). A repeat resident build of the same file skips the
+# dominant host cost — the exactness scans + packbits measured 56.8 s of
+# the 67.6 s scGLUE Distance phase on the single host core — and replays
+# the identical payloads (the transfer counters still record every byte
+# shipped). Only the VALUES on the link are cached, nothing derived:
+# the resident matrix is bit-identical either way.
+# --------------------------------------------------------------------------
+ENCODE_CACHE_DIR: Optional[str] = None   # set by enable_encode_cache()
+_ENCODE_CACHE_MAX_BYTES = 4 << 30
+
+
+def enable_encode_cache(path: Optional[str] = '~/.cache/jamie_tpu_enc'):
+    """Enable (or with None, disable) the on-disk encode cache."""
+    global ENCODE_CACHE_DIR
+    import os
+    ENCODE_CACHE_DIR = None if path is None else os.path.expanduser(path)
+    return ENCODE_CACHE_DIR
+
+
+def _encode_cache_path(arr, rows: int) -> Optional[str]:
+    import os
+    fn = getattr(arr, 'filename', None)
+    if not fn or ENCODE_CACHE_DIR is None:
+        return None
+    try:
+        import hashlib
+        st = os.stat(fn)
+        key = hashlib.sha1(
+            f'{os.path.realpath(fn)}|{st.st_mtime_ns}|{st.st_size}|'
+            f'{arr.shape}|{arr.dtype}|{rows}|v1'.encode()).hexdigest()[:20]
+        return os.path.join(ENCODE_CACHE_DIR, key + '.npz')
+    except OSError:
+        return None
+
+
+def _save_encoded(path: str, chunks) -> None:
+    import os
+    total = sum(lb for _, _, lb in chunks)
+    if total > _ENCODE_CACHE_MAX_BYTES:
+        return
+    import ml_dtypes
+    arrs = {'kinds': np.array([k for k, _, _ in chunks]),
+            'lbs': np.array([lb for _, _, lb in chunks], np.int64)}
+    for i, (_, payload, _) in enumerate(chunks):
+        for j, p in enumerate(payload):
+            p = np.asarray(p)
+            if p.dtype == ml_dtypes.bfloat16:   # npz can't store bf16
+                arrs[f'c{i}_{j}F'] = p.view(np.uint16)
+            else:
+                arrs[f'c{i}_{j}N'] = p
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + '.tmp.npz'
+        np.savez(tmp, **arrs)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+
+
+def _load_encoded(path: str):
+    import os
+    if not os.path.exists(path):
+        return None
+    import ml_dtypes
+    try:
+        with np.load(path) as z:
+            kinds = [str(k) for k in z['kinds']]
+            lbs = [int(b) for b in z['lbs']]
+            out = []
+            for i, (kind, lb) in enumerate(zip(kinds, lbs)):
+                payload = []
+                for j in range(8):
+                    if f'c{i}_{j}F' in z:
+                        payload.append(
+                            z[f'c{i}_{j}F'].view(ml_dtypes.bfloat16))
+                    elif f'c{i}_{j}N' in z:
+                        payload.append(z[f'c{i}_{j}N'])
+                    else:
+                        break
+                out.append((kind, tuple(payload), lb))
+            return out
+    except Exception:
+        return None   # unreadable/corrupt cache: rebuild
 
 
 def _ship_csr_chunk(resident, chunk, s, f, jits, jnp, bp=None):
@@ -414,18 +500,34 @@ def build_resident_bf16(arr, chunk_bytes: int = 256 << 20):
     resident = jnp.zeros((n, f), ml_dtypes.bfloat16)
     sparse_in = is_scipy_sparse(arr) and arr.format == 'csr'
     bp = _Backpressure(2 * chunk_bytes)
-    for s in range(0, n, rows):
+    cache_path = None if sparse_in else _encode_cache_path(arr, rows)
+    cached = _load_encoded(cache_path) if cache_path else None
+    if cached is not None and len(cached) != (n + rows - 1) // rows:
+        cached = None   # stale layout: rebuild
+    to_save = [] if (cache_path and cached is None) else None
+    for i, s in enumerate(range(0, n, rows)):
         _transfer['bf16_equiv_bytes'] += 2 * min(rows, n - s) * f
         if sparse_in:
             t0 = time.perf_counter()
             chunk = arr[s:s + rows]
             _transfer['read_s'] += time.perf_counter() - t0
             resident = _ship_csr_chunk(resident, chunk, s, f, jits, jnp, bp)
+        elif cached is not None:
+            kind, payload, lb = cached[i]
+            resident = _ship_encoded(resident, kind, payload, lb, s, jits,
+                                     jnp, bp)
         else:
             t0 = time.perf_counter()
             x = dense_rows(arr, s, s + rows)
             _transfer['read_s'] += time.perf_counter() - t0
-            resident = _ship_dense_chunk(resident, x, s, jits, jnp, bp)
+            t0 = time.perf_counter()
+            enc = _encode_dense_chunk(x)
+            _transfer['encode_s'] += time.perf_counter() - t0
+            if to_save is not None:
+                to_save.append(enc)
+            resident = _ship_encoded(resident, *enc, s, jits, jnp, bp)
+    if to_save is not None:
+        _save_encoded(cache_path, to_save)
     return jax.block_until_ready(resident)
 
 
@@ -537,34 +639,14 @@ class ChunkUploader:
             x = np.ascontiguousarray(block_csr_or_dense, np.float32)
         _transfer['read_s'] += time.perf_counter() - t0
         t0 = time.perf_counter()
-        kind, scale = _classify_dense_chunk(x)
-        if kind == 'bits':
-            packed = np.packbits(x != 0, axis=1)
-            _transfer['encode_s'] += time.perf_counter() - t0
-            if not packed.any():
-                return jnp.zeros((r, f), jnp.float32)
-            _transfer['bytes'] += packed.nbytes
-            dev = jnp.asarray(packed)
-            self.bp.add(dev)
-            return dec['bits'](dev, jnp.asarray(scale, np.float32), f=f)
-        if kind == 'bits2':
-            lo, hi, eq_hi = scale
-            packed = np.packbits(eq_hi, axis=1)
-            lo_b, hi_b = host_bf16(lo), host_bf16(hi)
-            _transfer['encode_s'] += time.perf_counter() - t0
-            _transfer['bytes'] += packed.nbytes + lo_b.nbytes + hi_b.nbytes
-            devs = [jnp.asarray(p) for p in (packed, lo_b, hi_b)]
-            self.bp.add(*devs)
-            return dec['bits2'](*devs, f=f)
-        if kind == 'u8':
-            xb = np.ascontiguousarray(x, np.uint8)
-        else:
-            xb = host_bf16(x)
+        kind, payload, link_bytes = _encode_dense_chunk(x)
         _transfer['encode_s'] += time.perf_counter() - t0
-        _transfer['bytes'] += xb.nbytes
-        dev = jnp.asarray(xb)
-        self.bp.add(dev)
-        return dec[kind](dev, f=f)
+        if kind == 'bits' and not payload[0].any():
+            return jnp.zeros((r, f), jnp.float32)
+        _transfer['bytes'] += link_bytes
+        devs = [jnp.asarray(p) for p in payload]
+        self.bp.add(*devs)
+        return dec[kind](*devs, f=f)
 
     def rows(self, s: int, e: int):
         """Rows [s:e) as a device-resident dense f32 block."""

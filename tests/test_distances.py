@@ -374,3 +374,45 @@ def test_bits2_per_column_two_valued_formats():
     kind2, _ = residency._classify_dense_chunk(
         rng.randn(64, f).astype(np.float32))
     assert kind2 == 'bf16'
+
+
+def test_encode_cache_roundtrip(tmp_path, monkeypatch):
+    """File-backed resident builds replay cached link payloads: identical
+    resident matrix, zero re-encode host time, same byte accounting."""
+    from jamie_tpu.core import residency
+
+    rng = np.random.RandomState(21)
+    X = np.vstack([(rng.rand(64, 96) < 0.2).astype(np.float32),
+                   rng.randn(64, 96).astype(np.float32)])
+    src = tmp_path / 'x.npy'
+    np.save(src, X)
+    arr = np.load(src, mmap_mode='r')
+
+    monkeypatch.setattr(residency, 'ENCODE_CACHE_DIR', str(tmp_path / 'enc'))
+    residency.reset_transfer_stats()
+    dev1 = residency.build_resident_bf16(arr, chunk_bytes=96 * 2 * 64)
+    s1 = residency.transfer_stats()
+    assert s1['encode_s'] > 0
+
+    residency.reset_transfer_stats()
+    dev2 = residency.build_resident_bf16(arr, chunk_bytes=96 * 2 * 64)
+    s2 = residency.transfer_stats()
+    np.testing.assert_array_equal(np.asarray(dev1, np.float32),
+                                  np.asarray(dev2, np.float32))
+    assert s2['encode_s'] == 0.0 and s2['read_s'] == 0.0, s2
+    assert s2['bytes'] == s1['bytes']
+
+    # mutating the file invalidates the key (mtime/size change)
+    np.save(src, X + 1.0)
+    arr3 = np.load(src, mmap_mode='r')
+    residency.reset_transfer_stats()
+    dev3 = residency.build_resident_bf16(arr3, chunk_bytes=96 * 2 * 64)
+    assert residency.transfer_stats()['encode_s'] > 0
+    np.testing.assert_array_equal(
+        np.asarray(dev3, np.float32),
+        np.asarray(residency.host_bf16(X + 1.0), np.float32))
+
+    # plain in-memory arrays never touch the cache
+    residency.reset_transfer_stats()
+    residency.build_resident_bf16(X, chunk_bytes=96 * 2 * 64)
+    assert residency.transfer_stats()['encode_s'] > 0
