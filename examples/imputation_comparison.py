@@ -99,11 +99,11 @@ def scgem_multi_seed(n_seeds: int = 5, quick: bool = False):
     if quick:
         kwargs.update(epoch_DNN=2000, min_epochs=500, epoch_pd=500)
 
-    def mean_r(pred, i, test_idx):
+    def feature_rs(pred, i, test_idx):
         p, t = pred[test_idx], dataset[i][test_idx]
-        rs = [np.corrcoef(p[:, j], t[:, j])[0, 1]
-              for j in range(t.shape[1]) if np.std(t[:, j]) > 0]
-        return float(np.nanmean(rs))
+        return np.array([np.corrcoef(p[:, j], t[:, j])[0, 1]
+                         for j in range(t.shape[1])
+                         if np.std(t[:, j]) > 0])
 
     per = {}
     t0 = time.perf_counter()
@@ -126,10 +126,19 @@ def scgem_multi_seed(n_seeds: int = 5, quick: bool = False):
                               epochs=200, seed=seed)],
         }
         row = {}
-        for method, pr in preds.items():
+        rs = {method: [feature_rs(pr[i], i, test_idx) for i in range(2)]
+              for method, pr in preds.items()}
+        for method in preds:
             for i in range(2):
                 row[f'{method}_r_mod{i + 1}'] = round(
-                    mean_r(pr[i], i, test_idx), 4)
+                    float(np.nanmean(rs[method][i])), 4)
+        # the reference figure's sign test (scGEM-Imp*.svg annotations):
+        # features where JAMIE's per-feature r beats the baseline's
+        for base in ('knn', 'nn'):
+            for i in range(2):
+                a, b = rs['jamie'][i], rs[base][i]
+                row[f'jamie_gt_{base}_mod{i + 1}'] = (
+                    f'{int(np.nansum(a > b))}/{int(np.nansum(b > a))}')
         print(f'seed {seed}:', json.dumps(row), flush=True)
         for k, v in row.items():
             per.setdefault(k, []).append(v)
@@ -137,6 +146,9 @@ def scgem_multi_seed(n_seeds: int = 5, quick: bool = False):
     results = {'n_seeds': n_seeds, 'dataset': 'scGEM (real, 80/20)',
                'total_seconds': round(time.perf_counter() - t0, 1)}
     for k, v in per.items():
+        if isinstance(v[0], str):     # sign-count strings: runs only
+            results[k + '_runs'] = v
+            continue
         results[k + '_mean'] = round(float(np.mean(v)), 4)
         results[k + '_sd'] = round(float(np.std(v)), 4)
         results[k + '_runs'] = v
