@@ -335,15 +335,19 @@ def _encode_csr_chunk(chunk, f):
     if not chunk.has_sorted_indices:
         chunk.sort_indices()   # the decode's sorted-scatter relies on it
     vkind, c = _classify_vals(chunk.data)
+    # uint16 column indices when the width (and the f drop-sentinel) fit —
+    # halves the dominant payload for <=65k-feature modalities
+    cdt = np.uint16 if f < 65535 else np.int32
     val_bytes = {'const': 0, 'u8': 1, 'bf16': 2}[vkind]
-    csr_bytes = 4 * (_nnz_bucket(nnz) + r + 1) + _nnz_bucket(nnz) * val_bytes
+    csr_bytes = (np.dtype(cdt).itemsize * _nnz_bucket(nnz) + 4 * (r + 1)
+                 + _nnz_bucket(nnz) * val_bytes)
     dense_bytes = (r * ((f + 7) // 8) if vkind == 'const'
                    else r * f if vkind == 'u8' else 2 * r * f)
     if csr_bytes >= dense_bytes:
         return None
 
     pad = _nnz_bucket(nnz)
-    cols = np.full(pad, f, np.int32)          # f = out-of-bounds -> dropped
+    cols = np.full(pad, f, cdt)               # f = out-of-bounds -> dropped
     cols[:nnz] = chunk.indices
     indptr = np.asarray(chunk.indptr, np.int32)
     if vkind == 'const':
