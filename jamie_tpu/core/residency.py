@@ -598,6 +598,123 @@ def _get_decode_jits():
     return _decode_jits
 
 
+_dec_block_jit = None
+
+
+def _get_dec_block():
+    """Jitted dense-f32 decode of rows [s, s+r) from a device-resident
+    padded CSR. `s` is traced (one executable serves every block of a
+    given (r, w)); the nnz window w is a static power-of-two bucket. The
+    window is slice-clamped, so no tail padding of cols/vals is needed:
+    entries before/after the valid run map to strictly-sorted
+    out-of-range flat indices (negative prefix, past-the-end suffix) and
+    drop, preserving the sorted+unique scatter promises."""
+    global _dec_block_jit
+    if _dec_block_jit is not None:
+        return _dec_block_jit
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=('r', 'f', 'w'))
+    def dec_block(indptr, cols, vals, s, r, f, w):
+        lo = indptr[s]
+        hi = indptr[s + r]
+        start = jnp.clip(lo, 0, cols.shape[0] - w)
+        c = jax.lax.dynamic_slice(cols, (start,), (w,)).astype(jnp.int32)
+        v = jax.lax.dynamic_slice(vals, (start,), (w,))
+        pos = jnp.arange(w, dtype=jnp.int32)
+        k = start + pos
+        rows = (jnp.searchsorted(indptr, k, side='right').astype(jnp.int32)
+                - 1 - s)
+        # Guard regions of width w on both sides keep EVERY index
+        # in-bounds and globally sorted (negative scatter indices WRAP in
+        # jax — mode='drop' only drops past-the-end): prefix entries land
+        # in [0, w), the block's data in [w, w + r*(f+1)), suffix entries
+        # in the tail guard. The guards are sliced away.
+        body = w + rows * (f + 1) + c
+        flat = jnp.where(k < lo, pos,
+                         jnp.where(k >= hi, w + r * (f + 1) + pos, body))
+        out = jnp.zeros((w + r * (f + 1) + w,), jnp.float32)
+        out = out.at[flat].set(v.astype(jnp.float32),
+                               unique_indices=True, indices_are_sorted=True)
+        return jax.lax.dynamic_slice(
+            out, (w,), (r * (f + 1),)).reshape(r, f + 1)[:, :f]
+
+    _dec_block_jit = dec_block
+    return dec_block
+
+
+class DeviceCSR:
+    """A scipy CSR matrix resident on device in padded-CSR form.
+
+    Uploaded ONCE (indptr int32, cols uint16/int32, vals bf16 — ~6
+    bytes/nnz, 2.4 GB less than dense bf16 at the 100k-cell 3%-dense
+    atlas shapes); every `rows(s, e)` call decodes a dense f32 block
+    with pure chip work. This is what makes multi-pass streamed
+    consumers (cell->landmark weights, then 2-3 row-streamed PCA passes
+    over the SAME matrix) cost one upload instead of re-shipping the
+    matrix per pass — at the axon pool's worst measured link rates the
+    re-streaming dominated the whole atlas fit."""
+
+    def __init__(self, X):
+        import jax
+        import jax.numpy as jnp
+        if not X.has_sorted_indices:
+            X.sort_indices()
+        n, f = X.shape
+        self.shape = (int(n), int(f))
+        self._indptr_np = np.asarray(X.indptr, np.int64)
+        cdt = np.uint16 if f < 65535 else np.int32
+        cols = np.asarray(X.indices, cdt)
+        vals = host_bf16(np.asarray(X.data, np.float32))
+        self.nbytes = (4 * (n + 1) + cols.nbytes + vals.nbytes)
+        _transfer['bytes'] += self.nbytes
+        self.indptr = jnp.asarray(self._indptr_np.astype(np.int32))
+        self.cols = jnp.asarray(cols)
+        self.vals = jnp.asarray(vals)
+        jax.block_until_ready((self.indptr, self.cols, self.vals))
+
+    def rows(self, s: int, e: int):
+        """Rows [s, e) as a dense f32 device block (bf16-rounded values,
+        the link policy everywhere)."""
+        e = min(e, self.shape[0])
+        r = e - s
+        w = _nnz_bucket(int(self._indptr_np[e] - self._indptr_np[s]))
+        w = min(w, int(self.cols.shape[0]))
+        if w == 0 or self._indptr_np[-1] == 0:
+            import jax.numpy as jnp
+            return jnp.zeros((r, self.shape[1]), jnp.float32)
+        return _get_dec_block()(self.indptr, self.cols, self.vals, s,
+                                r=r, f=self.shape[1], w=w)
+
+
+# id(X) -> (weakref, DeviceCSR); mirrors the bf16 residency cache so the
+# landmark-weights pass and the PCA passes share one upload
+_csr_cache: dict = {}
+
+
+def device_csr(X, budget_bytes: Optional[int] = None):
+    """X (scipy CSR) as a shared DeviceCSR, or None over budget."""
+    from .hostmat import is_scipy_sparse
+    if not (is_scipy_sparse(X) and X.format == 'csr'):
+        return None
+    key = id(X)
+    hit = _csr_cache.get(key)
+    if hit is not None and hit[0]() is X:
+        return hit[1]
+    budget = DEFAULT_BUDGET_BYTES if budget_bytes is None else budget_bytes
+    est = 6 * int(X.nnz) + 4 * (X.shape[0] + 1)
+    if est > budget:
+        return None
+    dev = DeviceCSR(X)
+
+    def _evict(_, key=key):
+        _csr_cache.pop(key, None)
+
+    _csr_cache[key] = (weakref.ref(X, _evict), dev)
+    return dev
+
+
 class ChunkUploader:
     """Dtype-aware, backpressured host->device block uploads for the
     streamed phases (row/column-streamed PCA, feature-chunked Gram).
@@ -620,6 +737,12 @@ class ChunkUploader:
         self.X = X
         self.sparse = is_scipy_sparse(X)
         self.bp = _Backpressure(limit_bytes)
+        # CSR sources that fit the HBM budget become device-resident once
+        # (shared across uploaders via the id-keyed cache); rows() then
+        # decodes on chip with zero further link traffic.
+        self.dcsr = (device_csr(X)
+                     if self.sparse and getattr(X, 'format', '') == 'csr'
+                     else None)
 
     def _block_f32(self, block_csr_or_dense, r, f):
         import jax.numpy as jnp
@@ -657,6 +780,8 @@ class ChunkUploader:
         e = min(e, self.X.shape[0])
         f = int(self.X.shape[1])
         _transfer['bf16_equiv_bytes'] += 2 * (e - s) * f
+        if self.dcsr is not None:
+            return self.dcsr.rows(s, e)
         return self._block_f32(self.X[s:e], e - s, f)
 
     def cols(self, s: int, e: int):
@@ -712,3 +837,4 @@ def clear_residency_cache() -> None:
     """Drop every resident copy (call before the training phase claims
     HBM)."""
     _cache.clear()
+    _csr_cache.clear()

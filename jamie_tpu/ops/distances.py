@@ -182,7 +182,15 @@ def _pairwise_euclidean_impl(x, y=None, squared=False, block=4096, mesh=None):
     from ..core.hostmat import densify, ensure_col_major, is_scipy_sparse
 
     self_dist = y is None
-    if (np.ndim(x) == 2
+    # Inputs already ON DEVICE never take the host-streaming paths: the
+    # feature-chunked builder would FETCH each column block back through
+    # the tunnel only to re-upload it (caught live at the 100k atlas —
+    # its cell->landmark blocks are device-decoded CSR, 655 MB each, and
+    # the fetch ran at the pool's ~1-10 MB/s). They are in HBM; compute
+    # directly.
+    device_in = isinstance(x, jax.Array) and (y is None
+                                              or isinstance(y, jax.Array))
+    if (not device_in and np.ndim(x) == 2
             and x.shape[0] * x.shape[1] > _FEATURE_CHUNK_THRESHOLD):
         if self_dist:
             from ..core.residency import device_bf16

@@ -416,3 +416,75 @@ def test_encode_cache_roundtrip(tmp_path, monkeypatch):
     residency.reset_transfer_stats()
     residency.build_resident_bf16(X, chunk_bytes=96 * 2 * 64)
     assert residency.transfer_stats()['encode_s'] > 0
+
+
+def test_device_csr_resident_rows():
+    """DeviceCSR: one upload, on-chip row-block decode identical to the
+    streamed CSR path (bf16-rounded values), shared across uploaders."""
+    import scipy.sparse as sp
+
+    from jamie_tpu.core import residency
+
+    rng = np.random.RandomState(31)
+    dense = np.zeros((300, 500), np.float32)
+    mask = rng.rand(300, 500) < 0.04
+    dense[mask] = rng.randn(int(mask.sum())).astype(np.float32)
+    X = sp.csr_matrix(dense)
+    want = np.asarray(residency.host_bf16(dense), np.float32)
+
+    residency.clear_residency_cache()
+    residency.reset_transfer_stats()
+    up1 = residency.ChunkUploader(X)
+    assert up1.dcsr is not None
+    got = np.vstack([np.asarray(up1.rows(s, s + 64))
+                     for s in range(0, 300, 64)])
+    np.testing.assert_array_equal(got, want)
+    one_upload = residency.transfer_stats()['bytes']
+    assert one_upload == up1.dcsr.nbytes
+
+    # a second uploader on the same matrix reuses the resident CSR:
+    # zero additional link bytes for any number of passes
+    up2 = residency.ChunkUploader(X)
+    assert up2.dcsr is up1.dcsr
+    g2 = np.asarray(up2.rows(10, 299))   # odd, unaligned block
+    np.testing.assert_array_equal(g2, want[10:299])
+    assert residency.transfer_stats()['bytes'] == one_upload
+
+    # empty edge rows + all-zero matrix
+    g3 = np.asarray(up2.rows(0, 1))
+    np.testing.assert_array_equal(g3, want[0:1])
+    Z = sp.csr_matrix((5, 9), dtype=np.float32)
+    upz = residency.ChunkUploader(Z)
+    if upz.dcsr is not None:
+        np.testing.assert_array_equal(np.asarray(upz.rows(0, 5)),
+                                      np.zeros((5, 9)))
+
+    # over-budget matrices fall back to streaming (an already-resident
+    # copy is returned regardless — residency is free once paid)
+    residency.clear_residency_cache()
+    assert residency.device_csr(X, budget_bytes=10) is None
+    residency.clear_residency_cache()
+
+
+def test_pairwise_device_inputs_never_stream(monkeypatch):
+    """Device-resident inputs must not take the host feature-chunked path
+    (it would FETCH device blocks back through the link to re-upload
+    them — caught live at the 100k atlas: 655 MB round-trips per
+    landmark block)."""
+    import jax.numpy as jnp
+
+    import jamie_tpu.ops.distances as dmod
+    from jamie_tpu.core import residency
+    from jamie_tpu.ops.distances import pairwise_sq_euclidean
+
+    rng = np.random.RandomState(17)
+    xh = rng.randn(120, 50).astype(np.float32)
+    yh = rng.randn(40, 50).astype(np.float32)
+    ref = np.asarray(pairwise_sq_euclidean(xh, yh))
+
+    monkeypatch.setattr(dmod, '_FEATURE_CHUNK_THRESHOLD', 100)
+    residency.reset_transfer_stats()
+    got = np.asarray(pairwise_sq_euclidean(jnp.asarray(xh), jnp.asarray(yh)))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+    # no bytes counted: the uploader/resident builders never engaged
+    assert residency.transfer_stats()['bytes'] == 0
