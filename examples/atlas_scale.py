@@ -19,8 +19,22 @@ import time
 import numpy as np
 
 # timeout(1) kills with SIGTERM; dump the stack first so a killed run
-# says WHERE it was (the 100k leg has been killed twice now)
-faulthandler.register(signal.SIGTERM, all_threads=True, chain=False)
+# says WHERE it was (the 100k leg has been killed twice now). The
+# python-level handler restores default disposition and re-raises so the
+# process actually DIES (faulthandler.register alone swallows the signal
+# — caught live: a SIGTERM'd atlas run dumped and kept training);
+# faulthandler's C-level dump still fires even while blocked in a tunnel
+# read, then chains here at the next bytecode.
+
+
+def _term_after_dump(sig, frame):
+    import os
+    signal.signal(signal.SIGTERM, signal.SIG_DFL)
+    os.kill(os.getpid(), signal.SIGTERM)
+
+
+signal.signal(signal.SIGTERM, _term_after_dump)
+faulthandler.register(signal.SIGTERM, all_threads=True, chain=True)
 
 
 def make_multiome(n=100_000, d_rna=512, d_atac=512, seed=0):
