@@ -87,6 +87,11 @@ class JamieConfig:
     # better true-match rank than 'uniform' at L/N=0.2, measured in
     # examples/landmark_ab.py --selection-ab); 'uniform' = plain subsampling
     corr_landmark_selection: str = 'fps'
+    # Landmark factor layout: 'dense' = LowRankF (U, V materialized, N x L
+    # f32 each), 'sparse' = SparseLandmarkF (k-sparse interpolation factors,
+    # O(N k) memory — the 500k+ cell regime), 'auto' = sparse once N x L
+    # crosses solvers.landmark._SPARSE_FACTOR_ENTRIES.
+    corr_factor_layout: str = 'auto'
 
     # --- Distances (jamie/jamie.py:839-890) ---
     distance_mode: str = 'geodesic'   # UnionCom-inherited default

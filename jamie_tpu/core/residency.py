@@ -703,7 +703,12 @@ def device_csr(X, budget_bytes: Optional[int] = None):
     if hit is not None and hit[0]() is X:
         return hit[1]
     budget = DEFAULT_BUDGET_BYTES if budget_bytes is None else budget_bytes
-    est = 6 * int(X.nnz) + 4 * (X.shape[0] + 1)
+    # Match DeviceCSR's actual layout: uint16 cols below 65k features
+    # (2 B) else int32 (4 B), bf16 vals (2 B), int32 indptr. The old flat
+    # 6 B/nnz estimate refused residency for matrices that fit — at 1M
+    # cells x 40k features x 3% the ATAC arm is 4.8 GB resident, not 7.2.
+    col_b = 2 if X.shape[1] < 65535 else 4
+    est = (col_b + 2) * int(X.nnz) + 4 * (X.shape[0] + 1)
     if est > budget:
         return None
     dev = DeviceCSR(X)

@@ -270,6 +270,7 @@ class JAMIE:
                         n_landmarks=cfg.corr_landmarks or 2048,
                         k_interp=cfg.corr_landmark_k,
                         selection=cfg.corr_landmark_selection,
+                        factor_layout=cfg.corr_factor_layout,
                         distance_mode=cfg.distance_mode, kmax=cfg.kmax,
                         seed=cfg.manual_seed, mesh=self.mesh,
                         epoch_pd=cfg.epoch_pd, rho=cfg.rho,

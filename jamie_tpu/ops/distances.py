@@ -196,8 +196,15 @@ def _pairwise_euclidean_impl(x, y=None, squared=False, block=4096, mesh=None):
             from ..core.residency import device_bf16
             # One bf16 upload shared with the PCA phase (cached), then one
             # fused Gram straight from HBM. Sparse x streams through the
-            # same row-chunked build (densified per chunk).
-            xdev = device_bf16(x if is_scipy_sparse(x) else np.asarray(x))
+            # same row-chunked build (densified per chunk). Pass ndarrays
+            # (incl. memmaps) through AS-IS: np.asarray on a memmap returns
+            # a fresh base-class view, which drops .filename (disabling the
+            # on-disk encode cache) and changes id() per call (defeating
+            # the cross-phase residency cache) — caught in round 4 when the
+            # warm bench still paid the full 60 s host encode.
+            xdev = device_bf16(
+                x if isinstance(x, np.ndarray) or is_scipy_sparse(x)
+                else np.asarray(x))
             if xdev is not None:
                 return _euclidean_resident_bf16(xdev, squared, True)
         xs = ensure_col_major(x)

@@ -243,7 +243,12 @@ def _pca_fit(X, n_components: int):
     n, f = X.shape if sparse_in else np.shape(X)
     if n * f > _STREAM_THRESHOLD:
         from .core.residency import device_bf16
-        xdev = device_bf16(X if sparse_in else np.asarray(X))
+        # ndarrays (incl. memmaps) pass through AS-IS: np.asarray on a
+        # memmap returns a fresh base-class view — .filename lost (no
+        # encode cache) and id() unstable (no sharing with the distance
+        # phase's upload). See ops/distances.py same-named call site.
+        xdev = device_bf16(X if sparse_in or isinstance(X, np.ndarray)
+                           else np.asarray(X))
         if xdev is not None:
             # One shared bf16 residency (uploaded by the distance phase)
             # replaces the streamed path's two extra f32 passes

@@ -36,16 +36,23 @@ from ..ops.lowrank import LowRankF
 from .prime_dual import prime_dual
 
 
-@partial(jax.jit, static_argnames=('k', 'n_landmarks'))
-def _interp_weights(d2, k: int, n_landmarks: int):
+@partial(jax.jit, static_argnames=('k',))
+def _interp_weights_sparse(d2, k: int):
     """Row-stochastic kNN-Gaussian weights from squared cell->landmark
-    distances: keep each row's k nearest landmarks, weight by
-    exp(-d2 / mean_knn_d2) (per-row bandwidth), normalize to sum 1."""
+    distances, in k-sparse form: each row's k nearest landmark indices and
+    their weights exp(-d2 / mean_knn_d2) (per-row bandwidth), normalized
+    to sum 1."""
     neg, idx = jax.lax.top_k(-d2, k)
     knn_d2 = -neg                                    # (n, k), ascending
     bw = jnp.maximum(jnp.mean(knn_d2, axis=1, keepdims=True), 1e-12)
     w = jnp.exp(-knn_d2 / bw)
-    w = w / jnp.sum(w, axis=1, keepdims=True)
+    return idx, w / jnp.sum(w, axis=1, keepdims=True)
+
+
+@partial(jax.jit, static_argnames=('k', 'n_landmarks'))
+def _interp_weights(d2, k: int, n_landmarks: int):
+    """Dense (n, L) layout of _interp_weights_sparse."""
+    idx, w = _interp_weights_sparse(d2, k)
     a = jnp.zeros((d2.shape[0], n_landmarks), jnp.float32)
     rows = jnp.arange(d2.shape[0])[:, None]
     return a.at[rows, idx].set(w)
@@ -118,11 +125,14 @@ def _select_landmarks(x, n_landmarks: int, method: str, rng) -> np.ndarray:
     raise ValueError(f'unknown landmark selection method {method!r}')
 
 
-def _cell_to_landmark_weights(x, landmarks, k: int, block: int = 8192):
+def _cell_to_landmark_weights(x, landmarks, k: int, block: int = 8192,
+                              sparse: bool = False):
     """A (n, L) built in row blocks so the (n, L) distance intermediate
     stays bounded; x and landmarks may be host or device arrays. Host
     sources past the package-wide 100M-element bf16 threshold ship
-    through the dtype-aware uploader; smaller ones ship exact f32."""
+    through the dtype-aware uploader; smaller ones ship exact f32.
+    sparse=True returns the k-sparse layout (idx (n, k) i32, w (n, k) f32)
+    instead of the dense (n, L) matrix — same weights, O(n k) memory."""
     from ..core.residency import ChunkUploader
 
     lm = jnp.asarray(np.asarray(landmarks), jnp.float32)
@@ -144,11 +154,25 @@ def _cell_to_landmark_weights(x, landmarks, k: int, block: int = 8192):
         else:
             xb = jnp.asarray(dense_rows(x, s, s + block))
         d2 = pairwise_sq_euclidean(xb, lm)
-        parts.append(_interp_weights(d2, min(k, L), L))
+        parts.append(_interp_weights_sparse(d2, min(k, L)) if sparse
+                     else _interp_weights(d2, min(k, L), L))
         if verbose:
             print(f'landmark weights: rows [{min(s + block, n)}/{n}] '
                   f'{_time.perf_counter() - t0:.1f}s', flush=True)
+    if sparse:
+        if len(parts) == 1:
+            return parts[0]
+        return (jnp.concatenate([p[0] for p in parts], axis=0),
+                jnp.concatenate([p[1] for p in parts], axis=0))
     return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
+# Past this many dense-factor entries per side (N x L), the correspondence
+# returns the k-sparse factor layout instead: three (N, 2048) f32 factors
+# are ~2.5 GB of HBM at N=200k and 12 GB at 500k, while the sparse layout
+# is O(N k). Under it, dense stays the default (fewer moving parts in the
+# jitted batch gather).
+_SPARSE_FACTOR_ENTRIES = 400_000_000
 
 
 def landmark_correspondence(
@@ -160,13 +184,18 @@ def landmark_correspondence(
     mesh=None,
     kmax: int = 40,
     selection: str = 'fps',
+    factor_layout: str = 'auto',
     **prime_dual_kwargs,
 ) -> LowRankF:
     """Low-rank unsupervised correspondence between datasets X (N0, f0) and
     Y (N1, f1). See module docstring; `prime_dual_kwargs` forward to the
     exact solver (epoch_pd, rho, epsilon, delay, log_pd, verbose, ...).
-    selection: 'fps' (farthest-point cover, default) or 'uniform'."""
+    selection: 'fps' (farthest-point cover, default) or 'uniform'.
+    factor_layout: 'dense' -> LowRankF (U = A_x F_L materialized, N x L),
+    'sparse' -> SparseLandmarkF (k-sparse A factors, O(N k) memory),
+    'auto' -> sparse once max(N) x L crosses _SPARSE_FACTOR_ENTRIES."""
     from ..ops.distances import dataset_distance_matrix
+    from ..ops.lowrank import SparseLandmarkF
 
     n0, n1 = int(X.shape[0]), int(Y.shape[0])
     L0, L1 = min(int(n_landmarks), n0), min(int(n_landmarks), n1)
@@ -188,6 +217,15 @@ def landmark_correspondence(
     F_L = prime_dual(Kx, Ky, dx=int(X.shape[1]), dy=int(Y.shape[1]),
                      mesh=mesh, **prime_dual_kwargs)
 
+    if factor_layout == 'auto':
+        factor_layout = ('sparse' if max(n0, n1) * max(L0, L1)
+                         > _SPARSE_FACTOR_ENTRIES else 'dense')
+    if factor_layout == 'sparse':
+        ix, wx = _cell_to_landmark_weights(X, Xl, k_interp, sparse=True)
+        iy, wy = _cell_to_landmark_weights(Y, Yl, k_interp, sparse=True)
+        return SparseLandmarkF(ix, wx, iy, wy, F_L)
+    if factor_layout != 'dense':
+        raise ValueError(f'unknown factor_layout {factor_layout!r}')
     A_x = _cell_to_landmark_weights(X, Xl, k_interp)
     A_y = _cell_to_landmark_weights(Y, Yl, k_interp)
     # U carries the solved landmark correspondences mixed by each row

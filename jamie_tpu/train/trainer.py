@@ -178,7 +178,19 @@ class JamieTrainer:
 
         self._p_ell = _ell_device(self._p_sparse)
         self._f_ell = _ell_device(self._f_sparse)
-        if self._f_lowrank is not None:
+        from ..ops.lowrank import SparseLandmarkF
+        self._f_lr_sparse = isinstance(self._f_lowrank, SparseLandmarkF)
+        if self._f_lr_sparse:
+            # k-sparse landmark factors: the dense (N, L) U/V never exist
+            # (the 500k+ cell regime); batch rows re-mix on the fly.
+            lr = self._f_lowrank
+            arrs = [lr.ix, lr.wx, lr.iy, lr.wy]
+            if mesh is not None:
+                arrs = [_maybe_shard_rows(a, mesh) for a in arrs]
+            self._f_lrs = (*arrs, jnp.asarray(lr.f_l))
+            self._f_lr = (jnp.zeros((1, 1), jnp.float32),
+                          jnp.zeros((1, 1), jnp.float32))
+        elif self._f_lowrank is not None:
             u, v = self._f_lowrank.u, self._f_lowrank.v
             if mesh is not None:
                 u = _maybe_shard_rows(u, mesh)
@@ -187,6 +199,12 @@ class JamieTrainer:
         else:
             self._f_lr = (jnp.zeros((1, 1), jnp.float32),
                           jnp.zeros((1, 1), jnp.float32))
+        if not self._f_lr_sparse:
+            self._f_lrs = (jnp.zeros((1, 1), jnp.int32),
+                           jnp.zeros((1, 1), jnp.float32),
+                           jnp.zeros((1, 1), jnp.int32),
+                           jnp.zeros((1, 1), jnp.float32),
+                           jnp.zeros((1, 1), jnp.float32))
         # Row budget when final_corr must compress a low-rank F to sparse
         self._final_corr_top_k = int(config.f_top_k or 32)
 
@@ -370,13 +388,14 @@ class JamieTrainer:
         return (self.data[0], self.data[1],
                 dummy if self.P is None else self.P,
                 dummy if self.F is None else self.F,
-                self._pairs, mask, self._p_ell, self._f_ell, self._f_lr)
+                self._pairs, mask, self._p_ell, self._f_ell, self._f_lr,
+                self._f_lrs)
 
     def _batch_loss_and_grads(self, params, batch_stats, key, epoch_idx, ops,
                               idx0, idx1):
         from ..ops.sparse import sparse_gather_batch
         cfg = self.config
-        data0, data1, P, F, pairs, mask, p_ell, f_ell, f_lr = ops
+        data0, data1, P, F, pairs, mask, p_ell, f_ell, f_lr, f_lrs = ops
         k_d, k_r = jax.random.split(key)
         x0 = self._constrain(jnp.take(data0, idx0, axis=0))
         x1 = self._constrain(jnp.take(data1, idx1, axis=0))
@@ -391,6 +410,17 @@ class JamieTrainer:
             P_sub = jnp.take(jnp.take(P, idx0, axis=0), idx1, axis=1)
         if self._f_zeros:
             F_sub = jnp.zeros((self.batch_size, self.batch_size), jnp.float32)
+        elif self._f_lr_sparse:
+            # k-sparse landmark factors: mix the row batch through F_L
+            # ((B, k, L1) gather-einsum), scatter the column batch dense
+            # (B, L1), one MXU matmul — O(N k) resident instead of O(N L)
+            from ..ops.lowrank import _mix_rows, _scatter_rows
+            u_b = _mix_rows(jnp.take(f_lrs[0], idx0, axis=0),
+                            jnp.take(f_lrs[1], idx0, axis=0), f_lrs[4])
+            v_b = _scatter_rows(jnp.take(f_lrs[2], idx1, axis=0),
+                                jnp.take(f_lrs[3], idx1, axis=0),
+                                f_lrs[4].shape[1])
+            F_sub = u_b @ v_b.T
         elif self._f_lowrank is not None:
             # Low-rank landmark F: two (B, L) gathers + one MXU matmul
             F_sub = (jnp.take(f_lr[0], idx0, axis=0)
@@ -502,8 +532,9 @@ class JamieTrainer:
     def _chunk_fn(self, chunk: int):
         if chunk not in self._chunk_fn_cache:
             def body(state, data0, data1, P, F, pairs, mask, p_ell, f_ell,
-                     f_lr):
-                ops = (data0, data1, P, F, pairs, mask, p_ell, f_ell, f_lr)
+                     f_lr, f_lrs):
+                ops = (data0, data1, P, F, pairs, mask, p_ell, f_ell, f_lr,
+                       f_lrs)
                 epochs = state.epoch + jnp.arange(chunk, dtype=jnp.int32)
                 return jax.lax.scan(
                     lambda st, ep: self._epoch_body(st, ep, ops),

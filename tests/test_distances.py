@@ -418,6 +418,51 @@ def test_encode_cache_roundtrip(tmp_path, monkeypatch):
     assert residency.transfer_stats()['encode_s'] > 0
 
 
+def test_memmap_keeps_cache_identity_through_distances(tmp_path, monkeypatch):
+    """Memmap sources must reach device_bf16 AS-IS: np.asarray on a memmap
+    returns a fresh base-class view per call, which (a) drops .filename so
+    the on-disk encode cache never engages and (b) changes id() so the
+    distance and PCA phases each pay a full upload (caught in round 4: the
+    warm bench still spent 60 s re-encoding page-cached sources)."""
+    import jamie_tpu.ops.distances as dmod
+    from jamie_tpu.core import residency
+    from jamie_tpu.ops.distances import pairwise_sq_euclidean
+
+    rng = np.random.RandomState(22)
+    X = rng.randn(80, 60).astype(np.float32)
+    src = tmp_path / 'x.npy'
+    np.save(src, X)
+    arr = np.load(src, mmap_mode='r')
+
+    monkeypatch.setattr(dmod, '_FEATURE_CHUNK_THRESHOLD', 1000)
+    monkeypatch.setattr(residency, 'ENCODE_CACHE_DIR', str(tmp_path / 'enc'))
+    residency.clear_residency_cache()
+    residency.reset_transfer_stats()
+    d1 = np.asarray(pairwise_sq_euclidean(arr))
+    s1 = residency.transfer_stats()
+    assert s1['encode_s'] > 0
+    import os
+    assert os.listdir(tmp_path / 'enc'), 'encode cache never engaged'
+
+    # same memmap again: resident copy shared (id-stable), zero new bytes
+    residency.reset_transfer_stats()
+    d2 = np.asarray(pairwise_sq_euclidean(arr))
+    s2 = residency.transfer_stats()
+    assert s2['bytes'] == 0, s2
+    np.testing.assert_array_equal(d1, d2)
+
+    # fresh memmap of the same file (new process ersatz): encode cache
+    # replays — upload happens, re-encode does not
+    residency.clear_residency_cache()
+    arr2 = np.load(src, mmap_mode='r')
+    residency.reset_transfer_stats()
+    np.asarray(pairwise_sq_euclidean(arr2))
+    s3 = residency.transfer_stats()
+    assert s3['bytes'] > 0 and s3['encode_s'] == 0.0 \
+        and s3['read_s'] == 0.0, s3
+    residency.clear_residency_cache()
+
+
 def test_device_csr_resident_rows():
     """DeviceCSR: one upload, on-chip row-block decode identical to the
     streamed CSR path (bf16-rounded values), shared across uploaders."""
