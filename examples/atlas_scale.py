@@ -73,8 +73,8 @@ def main_sparse_data(args):
         from synth import synthesize_sparse_labels, synthesize_sparse_pair
 
     n = args.cells
-    rna, atac = synthesize_sparse_pair(n, *args.features, density=0.03,
-                                       seed=0)
+    rna, atac = synthesize_sparse_pair(n, *args.features,
+                                       density=args.density, seed=0)
     pca = min(512, min(args.features) // 2, n // 2)
     jm = JAMIE(epoch_DNN=args.epochs, min_epochs=args.epochs // 2,
                use_early_stop=False, batch_size=args.batch_size,
@@ -143,6 +143,11 @@ def main():
     ap.add_argument('--features', type=int, nargs=2, default=(20000, 40000),
                     metavar=('D_RNA', 'D_ATAC'),
                     help='raw feature widths for --sparse-data')
+    ap.add_argument('--density', type=float, default=0.03,
+                    help='nonzero fraction of the synthetic CSR modalities '
+                         '(10x multiome RNA is ~5-10%%, ATAC ~1-3%%; the '
+                         'million-cell demo uses 0.01 to bound host synth '
+                         'time on this 1-core container)')
     ap.add_argument('--landmarks', type=int, default=2048,
                     help='landmark count for --sparse-data correspondence '
                          '(forced: the dense N^2 solver is the wall this '

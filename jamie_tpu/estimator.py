@@ -115,8 +115,15 @@ class JAMIE:
         # at load (scGLUE.ipynb cell 3 .todense()); here the dense matrix
         # never exists on host.
         from .core.hostmat import ensure_row_major, is_scipy_sparse
+        # ndarrays (incl. np.memmap) pass through AS-IS: np.asarray on a
+        # memmap returns a base-class view, dropping .filename — which is
+        # the key the on-disk encode cache needs. This entry point was the
+        # remaining stripper after the distances/preprocess call sites were
+        # fixed (the warm bench still paid the full ~35 s host encode).
         self.dataset = [ensure_row_major(d) if is_scipy_sparse(d)
-                        else np.asarray(d) for d in self.dataset]
+                        else (d if isinstance(d, np.ndarray)
+                              else np.asarray(d))
+                        for d in self.dataset]
 
         self.dataset_num = len(self.dataset)
         assert self.dataset_num == 2, (

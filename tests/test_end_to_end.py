@@ -175,3 +175,24 @@ def test_tune_cm_smoke(synthetic_pair):
                log_DNN=100000)
     best_wt, best_data = tune_cm(jm, data, types, wt_size=4, num_search=2)
     assert best_wt is not None and len(best_wt) == 4
+
+
+def test_memmap_inputs_kept_as_is(synthetic_pair, tmp_path):
+    """fit_transform must not np.asarray ndarray inputs: a memmap's
+    base-class view drops .filename, which is the key the on-disk encode
+    cache uses — the round-4 warm bench still paid the full ~35 s host
+    encode because THIS entry point stripped the memmap before the
+    (already-fixed) distances/preprocess call sites ever saw it."""
+    data, _labels = synthetic_pair
+    paths = []
+    for i, d in enumerate(data):
+        p = tmp_path / f'm{i}.npy'
+        np.save(p, d)
+        paths.append(p)
+    mm = [np.load(p, mmap_mode='r') for p in paths]
+    jm = JAMIE(**{**FAST, 'epoch_DNN': 100, 'min_epochs': 20,
+                  'epoch_chunk': 50, 'epoch_pd': 50})
+    jm.fit_transform(dataset=mm)
+    for got, src in zip(jm.dataset, mm):
+        assert got is src, type(got)
+        assert str(getattr(got, 'filename', None)) == str(src.filename)
