@@ -89,7 +89,20 @@ def main_sparse_data(args):
     t1 = time.perf_counter()
     f = test_closer(emb)     # exact at any N: row-blocked device FOSCTTM
     labels = synthesize_sparse_labels(n, seed=0)   # the latent's clusters
-    lta, k = knn_label_transfer_accuracy(emb, [labels, labels])
+    # LTA: the reference's auto-k rule (20% of average class size) makes
+    # k grow with N (k=16.7k at N=1M), and the kNN vote is O(N^2 k) —
+    # past --metric-cells the vote runs on a uniform cell subsample with
+    # the same protocol/auto-k as the smaller atlas rows (FOSCTTM above
+    # stays exact at full N: it is comparison counting, no top_k).
+    lta_cells = n
+    if args.metric_cells and args.metric_cells < n:
+        lta_cells = args.metric_cells
+        sub = np.random.RandomState(0).choice(n, lta_cells, replace=False)
+        emb_l = [np.asarray(e)[sub] for e in emb]
+        labels_l = labels[sub]
+    else:
+        emb_l, labels_l = emb, labels
+    lta, k = knn_label_transfer_accuracy(emb_l, [labels_l, labels_l])
     print(json.dumps({
         'cells': n,
         'features': list(args.features),
@@ -101,6 +114,7 @@ def main_sparse_data(args):
         'foscttm_exact': round(float(f), 6),
         'label_transfer_acc': round(float(lta), 4),
         'label_transfer_k': int(k),
+        'label_transfer_cells': int(lta_cells),
         'metric_seconds': round(time.perf_counter() - t1, 1),
         'hbm': device_memory_stats(),
         'peak_rss_gb': _peak_rss_gb(),
@@ -154,6 +168,11 @@ def main():
                          'demo exists to avoid)')
     ap.add_argument('--epoch-pd', type=int, default=2000,
                     help='prime-dual iterations on the landmark subproblem')
+    ap.add_argument('--metric-cells', type=int, default=None,
+                    help='evaluate LTA on a uniform subsample of this many '
+                         'cells (FOSCTTM stays exact at full N); the '
+                         'million-cell demo uses 250000 — the same '
+                         'protocol/auto-k as the 250k row')
     args = ap.parse_args()
 
     if args.sparse_data:
