@@ -58,3 +58,15 @@ def dense_cols(x, start: int, stop: int, dtype=np.float32) -> np.ndarray:
     """Columns [start:stop) as a C-contiguous dense f32 block (pass CSC for
     sparse inputs — see ensure_col_major)."""
     return densify(x[:, start:stop], dtype)
+
+
+def as_f32_ndarray(x):
+    """float32 host array that PRESERVES ndarray identity when x already is
+    one (np.memmap included — it keeps .filename, the on-disk encode-cache
+    key). np.asarray(memmap) returns a fresh base-class view per call:
+    .filename is lost AND id() is unstable, so the id-keyed residency cache
+    re-uploads the same matrix once per phase (caught in round 4: the warm
+    scGLUE leg shipped 1,651.8 MB — exactly two full resident builds)."""
+    if isinstance(x, np.ndarray) and x.dtype == np.float32:
+        return x
+    return np.asarray(x, np.float32)

@@ -386,12 +386,14 @@ def dataset_distance_matrix(data, distance_mode: str = 'euclidean',
     (jamie/jamie.py:851-885). scipy-sparse data passes through to the
     sparse-aware euclidean streaming paths; the rank/correlation modes
     densify (they need the full dense matrix on device anyway)."""
-    from ..core.hostmat import densify, is_scipy_sparse
+    from ..core.hostmat import as_f32_ndarray, densify, is_scipy_sparse
     if is_scipy_sparse(data):
         if distance_mode in ('spearman', 'pearson'):
             data = densify(data)
     else:
-        data = np.asarray(data)
+        # identity/subclass-preserving: np.asarray here stripped memmap
+        # .filename and destabilized id() (see hostmat.as_f32_ndarray)
+        data = as_f32_ndarray(data)
     if distance_mode == 'geodesic':
         return geodesic_distances(data, kmax=kmax, mesh=mesh)
     if distance_mode == 'spearman':

@@ -318,9 +318,9 @@ class PCA:
         self.scores_: Optional[np.ndarray] = None
 
     def fit(self, X):
-        from .core.hostmat import is_scipy_sparse
+        from .core.hostmat import as_f32_ndarray, is_scipy_sparse
         if not is_scipy_sparse(X):
-            X = np.asarray(X, np.float32)
+            X = as_f32_ndarray(X)   # keeps memmap identity/.filename
         mean, comps, scores = _pca_fit(X, self.n_components)
         # Device-resident: at wide-F shapes the components are ~0.5 GB
         # (512 x 241757) and every transform/inverse consumes them on
@@ -333,10 +333,10 @@ class PCA:
         return self
 
     def transform(self, X, row_chunk_bytes: int = 2 << 30):
-        from .core.hostmat import is_scipy_sparse
+        from .core.hostmat import as_f32_ndarray, is_scipy_sparse
         from .core.residency import ChunkUploader
         if not is_scipy_sparse(X):
-            X = np.asarray(X, np.float32)
+            X = as_f32_ndarray(X)   # keeps memmap identity/.filename
         comps_t = jnp.asarray(self.components_).T
         mean = jnp.asarray(self.mean_)
         n, f = X.shape
@@ -465,7 +465,7 @@ class Preprocessor:
         scipy-sparse data streams through the PCA routes blockwise; the
         no-PCA route densifies (per-feature standardization destroys
         sparsity anyway) with a warning at atlas sizes."""
-        from .core.hostmat import densify, is_scipy_sparse
+        from .core.hostmat import as_f32_ndarray, densify, is_scipy_sparse
         if is_scipy_sparse(data):
             if pca_dim is None:
                 if data.shape[0] * data.shape[1] > 1_000_000_000:
@@ -475,7 +475,7 @@ class Preprocessor:
                         'pipeline streaming', UserWarning)
                 data = densify(data)
         else:
-            data = np.asarray(data, np.float32)
+            data = as_f32_ndarray(data)   # keeps memmap identity/.filename
         if pca_dim is not None:
             dim = int(pca_dim)
             if min(*data.shape) < dim:
@@ -513,13 +513,13 @@ class Preprocessor:
         return out
 
     def transform(self, X):
-        from .core.hostmat import densify, is_scipy_sparse
+        from .core.hostmat import as_f32_ndarray, densify, is_scipy_sparse
         if is_scipy_sparse(X):
             # PCA.transform streams sparse rows itself; everything else
             # (NLE kNN interpolation, bare standardization) needs dense.
             out = X if isinstance(self.pca, PCA) else densify(X)
         else:
-            out = np.asarray(X, np.float32)
+            out = as_f32_ndarray(X)   # keeps memmap identity/.filename
         if self.pca is not None:
             out = self.pca.transform(out)
         out = out - self.sample_mean

@@ -177,12 +177,21 @@ def test_tune_cm_smoke(synthetic_pair):
     assert best_wt is not None and len(best_wt) == 4
 
 
-def test_memmap_inputs_kept_as_is(synthetic_pair, tmp_path):
-    """fit_transform must not np.asarray ndarray inputs: a memmap's
-    base-class view drops .filename, which is the key the on-disk encode
-    cache uses — the round-4 warm bench still paid the full ~35 s host
-    encode because THIS entry point stripped the memmap before the
-    (already-fixed) distances/preprocess call sites ever saw it."""
+def test_memmap_inputs_kept_as_is(synthetic_pair, tmp_path, monkeypatch):
+    """Memmap inputs must reach the residency layer AS-IS through a FULL
+    fit: every np.asarray on the way (fit_transform entry,
+    dataset_distance_matrix, PCA.fit/transform, Preprocessor.fit/transform)
+    returned a fresh base-class view — .filename lost (the on-disk encode
+    cache never engaged in any full-fit run) and id() unstable (the
+    id-keyed residency cache re-uploaded the same matrix once per phase:
+    the round-4 warm scGLUE leg shipped 1,651.8 MB, exactly two full
+    resident builds)."""
+    import os
+
+    import jamie_tpu.ops.distances as dmod
+    import jamie_tpu.preprocess as pmod
+    from jamie_tpu.core import residency
+
     data, _labels = synthetic_pair
     paths = []
     for i, d in enumerate(data):
@@ -190,9 +199,30 @@ def test_memmap_inputs_kept_as_is(synthetic_pair, tmp_path):
         np.save(p, d)
         paths.append(p)
     mm = [np.load(p, mmap_mode='r') for p in paths]
+
+    # force the resident path at test shapes + count builds per source
+    monkeypatch.setattr(dmod, '_FEATURE_CHUNK_THRESHOLD', 1000)
+    monkeypatch.setattr(pmod, '_STREAM_THRESHOLD', 1000)
+    monkeypatch.setattr(residency, 'ENCODE_CACHE_DIR', str(tmp_path / 'enc'))
+    builds = []
+    orig = residency.build_resident_bf16
+    monkeypatch.setattr(
+        residency, 'build_resident_bf16',
+        lambda arr, **kw: (builds.append(
+            (type(arr).__name__, getattr(arr, 'filename', None))),
+            orig(arr, **kw))[1])
+    residency.clear_residency_cache()
+
     jm = JAMIE(**{**FAST, 'epoch_DNN': 100, 'min_epochs': 20,
-                  'epoch_chunk': 50, 'epoch_pd': 50})
+                  'epoch_chunk': 50, 'epoch_pd': 50,
+                  'pca_dim': (20, 15)})
     jm.fit_transform(dataset=mm)
     for got, src in zip(jm.dataset, mm):
         assert got is src, type(got)
         assert str(getattr(got, 'filename', None)) == str(src.filename)
+    # ONE resident build per modality, each seeing the memmap itself
+    assert len(builds) == 2, builds
+    assert all(t == 'memmap' and fn is not None for t, fn in builds), builds
+    # and the on-disk encode cache engaged
+    assert os.listdir(tmp_path / 'enc'), 'encode cache never engaged'
+    residency.clear_residency_cache()
