@@ -421,6 +421,33 @@ def _save_encoded(path: str, chunks) -> None:
         tmp = path + '.tmp.npz'
         np.savez(tmp, **arrs)
         os.replace(tmp, path)
+        _prune_encode_cache(os.path.dirname(path))
+    except OSError:
+        pass
+
+
+def _prune_encode_cache(
+        cache_dir: str, total_limit: int = _ENCODE_CACHE_MAX_BYTES * 4
+) -> None:
+    """Keep the cache DIRECTORY bounded (per-entry saves are capped, but a
+    long-lived workstation accumulates one entry per distinct source file):
+    drop least-recently-USED entries (atime where tracked, else mtime)
+    until the total is under 4x the per-entry cap."""
+    import os
+    try:
+        entries = []
+        with os.scandir(cache_dir) as it:
+            for e in it:
+                if e.name.endswith('.npz'):
+                    st = e.stat()
+                    entries.append((max(st.st_atime, st.st_mtime),
+                                    st.st_size, e.path))
+        total = sum(sz for _, sz, _ in entries)
+        for _, sz, p in sorted(entries):
+            if total <= total_limit:
+                break
+            os.unlink(p)
+            total -= sz
     except OSError:
         pass
 
@@ -446,7 +473,11 @@ def _load_encoded(path: str):
                     else:
                         break
                 out.append((kind, tuple(payload), lb))
-            return out
+        try:
+            os.utime(path)   # mark recency for the LRU prune (relatime
+        except OSError:      # filesystems rarely update atime on read)
+            pass
+        return out
     except Exception:
         return None   # unreadable/corrupt cache: rebuild
 

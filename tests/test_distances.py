@@ -533,3 +533,26 @@ def test_pairwise_device_inputs_never_stream(monkeypatch):
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
     # no bytes counted: the uploader/resident builders never engaged
     assert residency.transfer_stats()['bytes'] == 0
+
+
+def test_encode_cache_prune(tmp_path, monkeypatch):
+    """The cache DIRECTORY is LRU-bounded: oldest entries drop once the
+    total crosses the limit; the newest save always survives."""
+    import os
+
+    from jamie_tpu.core import residency
+
+    d = tmp_path / 'enc'
+    os.makedirs(d)
+    for i in range(4):
+        p = d / f'e{i}.npz'
+        np.savez(p, x=np.zeros(256, np.uint8))
+        os.utime(p, (1000 + i, 1000 + i))
+    sz = os.path.getsize(d / 'e0.npz')
+    residency._prune_encode_cache(str(d), total_limit=2 * sz)
+    left = sorted(os.listdir(d))
+    assert left == ['e2.npz', 'e3.npz'], left   # oldest two pruned
+
+    # under the limit: nothing pruned
+    residency._prune_encode_cache(str(d), total_limit=10 * sz)
+    assert sorted(os.listdir(d)) == ['e2.npz', 'e3.npz']
