@@ -111,6 +111,11 @@ def main_sparse_data(args):
         'devices': len(jax.devices()),
         'fit_seconds': round(fit_s, 1),
         'phase_seconds': getattr(jm, 'phase_timings', None),
+        # Mapping sub-split (Preprocessing = streamed PCA, Trainer setup =
+        # residency + P/F operands, Training, Output = final embed) — the
+        # Mapping phase dominates the atlas fits, so show where it goes
+        'mapping_seconds': {k: round(float(v), 1) for k, v in getattr(
+            jm, '_mapping_timings', {}).items()},
         'foscttm_exact': round(float(f), 6),
         'label_transfer_acc': round(float(lta), 4),
         'label_transfer_k': int(k),

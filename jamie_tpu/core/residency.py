@@ -534,6 +534,20 @@ def build_resident_bf16(arr, chunk_bytes: int = 256 << 20):
     rows = max(int(chunk_bytes / max(f * 2, 1)), 64)
     resident = jnp.zeros((n, f), ml_dtypes.bfloat16)
     sparse_in = is_scipy_sparse(arr) and arr.format == 'csr'
+    if sparse_in:
+        # A device-resident CSR (shared with the landmark/PCA passes, or
+        # created now if it fits the budget) decodes on chip: the dense
+        # build costs ZERO further link traffic instead of re-shipping
+        # the whole CSR payload. Same bf16 values either way (the decode
+        # places the same bf16 vals the csr insert would).
+        dcsr = device_csr(arr)
+        if dcsr is not None:
+            ins_dev = _get_insert_dev_jit()
+            for s in range(0, n, rows):
+                _transfer['bf16_equiv_bytes'] += 2 * min(rows, n - s) * f
+                resident = ins_dev(resident, dcsr.rows(s, s + rows),
+                                   jnp.asarray(s, jnp.int32))
+            return jax.block_until_ready(resident)
     bp = _Backpressure(2 * chunk_bytes)
     cache_path = None if sparse_in else _encode_cache_path(arr, rows)
     cached = _load_encoded(cache_path) if cache_path else None
@@ -564,6 +578,26 @@ def build_resident_bf16(arr, chunk_bytes: int = 256 << 20):
     if to_save is not None:
         _save_encoded(cache_path, to_save)
     return jax.block_until_ready(resident)
+
+
+_ins_dev_jit = None
+
+
+def _get_insert_dev_jit():
+    """Insert an already-on-device f32 block into the resident bf16 matrix
+    (the DeviceCSR-backed resident build — no host payload involved)."""
+    global _ins_dev_jit
+    if _ins_dev_jit is None:
+        import jax
+        import jax.numpy as jnp
+        import ml_dtypes
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def ins_dev(resident, xb, start):
+            return jax.lax.dynamic_update_slice(
+                resident, xb.astype(ml_dtypes.bfloat16), (start, 0))
+        _ins_dev_jit = ins_dev
+    return _ins_dev_jit
 
 
 _decode_jits: dict = {}

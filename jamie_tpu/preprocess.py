@@ -219,8 +219,13 @@ def _pca_fit_row_streamed(X, n_components: int, oversample: int = 10,
     Ub = Ub[:, ::-1][:, :n_components]
     s = jnp.sqrt(jnp.maximum(w[::-1][:n_components], 1e-12))
     comps = (Ub / s).T @ B                              # (n_components, f)
+    # Scores STAY ON DEVICE: at 1M cells they are 2.1 GB, and fetching
+    # them through the ~10 MB/s tunnel link (then standardizing on host
+    # and re-uploading for the trainer) measured as the dominant Mapping
+    # cost of the million-cell atlas fit. The standardize + trainer
+    # residency chain is device-aware end to end.
     scores = Q @ (Ub * s)                               # (n, n_components)
-    return mean, comps, np.asarray(scores)
+    return mean, comps, scores
 
 
 @jax.jit
@@ -261,6 +266,10 @@ def _pca_fit(X, n_components: int):
             # tall (atlas) orientation: stream the cell axis instead
             mean, comps, scores = _pca_fit_row_streamed(X, n_components)
         signs = _component_signs(comps)
+        if isinstance(scores, jax.Array):
+            # device scores stay on device (atlas-scale: see the
+            # row-streamed route) — the sign flip is a trivial scale
+            return mean, comps * signs[:, None], scores * signs[None, :]
         return (mean, comps * signs[:, None],
                 np.asarray(scores) * np.asarray(signs)[None, :])
     if sparse_in:
@@ -303,6 +312,14 @@ def _pca_project(X, mean, comps_t):
     return (X - mean) @ comps_t
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _standardize_device(x, mean, std):
+    """(x - mean) / std with the host path's NaN->0 (inf passes through);
+    donates x so the raw fit-sample buffer is released in place."""
+    out = (x - mean) / std
+    return jnp.where(jnp.isnan(out), 0.0, out)
+
+
 class PCA:
     """Minimal sklearn-compatible PCA running on device.
 
@@ -329,7 +346,11 @@ class PCA:
         # made only on serialization (Preprocessor.to_dict).
         self.mean_ = jnp.asarray(mean)
         self.components_ = jnp.asarray(comps)
-        self.scores_ = None if scores is None else np.asarray(scores)
+        # device scores are kept on device (the atlas-scale fit consumes
+        # them there; fetching 2.1 GB at 1M cells was the Mapping wall)
+        self.scores_ = (None if scores is None
+                        else scores if isinstance(scores, jax.Array)
+                        else np.asarray(scores))
         return self
 
     def transform(self, X, row_chunk_bytes: int = 2 << 30):
@@ -445,15 +466,21 @@ class Preprocessor:
                  pca: Optional[PCA] = None, axis: Optional[int] = None):
         self.pca = pca
         self.axis = axis
-        if sample is not None:
+        if sample is None:
+            self.sample_mean = None
+            self.sample_std = None
+        elif isinstance(sample, jax.Array):
+            # device fit sample (atlas-scale PCA scores): the stats are a
+            # scalar (axis=None) or a (k,) vector — fetch THOSE, never the
+            # 2.1 GB sample itself
+            self.sample_mean = np.asarray(jnp.mean(sample, axis), np.float32)
+            self.sample_std = np.asarray(jnp.std(sample, axis), np.float32)
+        else:
             sample = np.asarray(sample, np.float32)
             self.sample_mean = np.asarray(sample.mean(axis), np.float32)
             with warnings.catch_warnings():
                 warnings.simplefilter('ignore')
                 self.sample_std = np.asarray(sample.std(axis), np.float32)
-        else:
-            self.sample_mean = None
-            self.sample_std = None
 
     @classmethod
     def fit(cls, data: np.ndarray, pca_dim: Optional[int] = None,
@@ -502,9 +529,26 @@ class Preprocessor:
     def transform_fit(self):
         """Standardized transform of the data this preprocessor was fit on,
         using the cached PCA scores — avoids re-projecting the full matrix
-        (critical for 242k-feature modalities)."""
-        assert getattr(self, '_fit_sample', None) is not None
-        out = np.array(self._fit_sample, np.float32)
+        (critical for 242k-feature modalities).
+
+        Device fit samples standardize ON DEVICE and the result is handed
+        to the trainer as-is (jnp.asarray keeps it in place) — no host
+        round-trip; the raw sample's HBM is released afterwards (this is
+        the one consumer; at 1M cells each copy is 2.1 GB). Same NaN->0
+        semantics as the host path (inf from a zero std passes through
+        there too)."""
+        sample = getattr(self, '_fit_sample', None)
+        assert sample is not None
+        if isinstance(sample, jax.Array):
+            out = _standardize_device(sample, float(self.sample_mean),
+                                      float(self.sample_std))
+            # the donation invalidated the raw-score buffer: drop every
+            # reference to it (pca.scores_ aliases the same array)
+            self._fit_sample = None
+            if self.pca is not None:
+                self.pca.scores_ = None
+            return out
+        out = np.array(sample, np.float32)
         out = out - self.sample_mean
         with warnings.catch_warnings():
             warnings.simplefilter('ignore')

@@ -199,3 +199,34 @@ def test_pca_resident_bf16_matches_streamed():
             for j in range(6)]
     assert min(corr) > 0.99
     residency.clear_residency_cache()
+
+
+def test_transform_fit_device_scores_stay_on_device(monkeypatch):
+    """The atlas-scale chain: row-streamed PCA returns DEVICE scores; the
+    Preprocessor standardizes them on device (same values as the host
+    path) and hands the trainer a jax array — no 2.1 GB host round-trip
+    (the measured Mapping wall of the million-cell fit). The raw score
+    buffer is donated and every alias released."""
+    import jax
+
+    import jamie_tpu.preprocess as pp
+
+    rng = np.random.RandomState(5)
+    x = rng.randn(300, 40).astype(np.float32)   # tall: row-streamed route
+    monkeypatch.setattr(pp, '_STREAM_THRESHOLD', 100)
+
+    pre = pp.Preprocessor.fit(x, pca_dim=8)
+    assert isinstance(pre._fit_sample, jax.Array)
+    raw = np.asarray(pre._fit_sample)       # host copy BEFORE the donation
+    out = pre.transform_fit()
+    assert isinstance(out, jax.Array)
+    assert pre._fit_sample is None and pre.pca.scores_ is None
+
+    # parity with the host path's standardize of the same raw scores
+    ref = (raw - raw.mean()) / raw.std()
+    ref[np.isnan(ref)] = 0
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+    # serving transform still host in / host out
+    served = pre.transform(x[:7])
+    assert isinstance(served, np.ndarray) and served.shape == (7, 8)
