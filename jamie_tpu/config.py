@@ -43,6 +43,13 @@ class JamieConfig:
     output_dim: int = 32
     pca_dim: Optional[Tuple[Optional[int], ...]] = (512, 512)
     model_pca: str = 'pca'            # 'pca' | 'tsne' (device) | 'umap'
+    # Randomized-PCA power iterations on the ROW-STREAMED (tall atlas)
+    # route, where each iteration costs two extra full passes over the
+    # on-chip CSR decode (~9.2M nnz/s, serialized scatter — RESULTS.md
+    # round 4). 1 matches the other randomized routes; 0 halves the
+    # decode passes when the data's spectrum decays fast (exact for
+    # effective rank < pca_dim + oversample either way).
+    pca_power_iters: int = 1
     dropout: Optional[float] = None   # None -> 0.6 if max(dim) > 64 else 0
     dist_method: str = 'euclidean'    # similarity used in the cosine loss term
     PF_Ratio: Optional[float] = None  # None -> 1.0 (jamie/jamie.py:517)

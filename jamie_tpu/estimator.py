@@ -360,7 +360,8 @@ class JAMIE:
         pca_dims = cfg.pca_dim if cfg.pca_dim is not None else (None, None)
         timer = TimeLogger(block=True)
         self.preprocessors = tuple(
-            Preprocessor.fit(data, pca_dim=dim, method=cfg.model_pca)
+            Preprocessor.fit(data, pca_dim=dim, method=cfg.model_pca,
+                             power_iters=cfg.pca_power_iters)
             for dim, data in zip(pca_dims, self.dataset))
         # transform_fit reuses the cached PCA scores of the fit data — no
         # second full-matrix projection (jamie.py:468 re-transforms; at

@@ -159,7 +159,8 @@ def _pca_fit_streamed(X, n_components: int, oversample: int = 10,
 
 
 def _pca_fit_row_streamed(X, n_components: int, oversample: int = 10,
-                          seed: int = 0, chunk_bytes: int = 1 << 30):
+                          seed: int = 0, chunk_bytes: int = 1 << 30,
+                          power_iters: int = 1):
     """Randomized PCA with the CELL axis streamed host->device, for tall
     matrices (n > f) too large to reside whole — the raw-feature atlas
     case (e.g. 100k cells x 20k genes, dense or CSR). The (f, k) sketch,
@@ -212,7 +213,8 @@ def _pca_fit_row_streamed(X, n_components: int, oversample: int = 10,
         return B
 
     Q, _ = jnp.linalg.qr(sketch(omega))
-    Q, _ = jnp.linalg.qr(sketch(project(Q).T))          # one power iteration
+    for _ in range(power_iters):    # each iteration = 2 more data passes
+        Q, _ = jnp.linalg.qr(sketch(project(Q).T))
     B = project(Q)
     BBt = B @ B.T
     w, Ub = jnp.linalg.eigh(BBt)
@@ -238,10 +240,12 @@ def _component_signs(comps) -> jnp.ndarray:
     return jnp.where(signs == 0, 1.0, signs)
 
 
-def _pca_fit(X, n_components: int):
+def _pca_fit(X, n_components: int, power_iters: int = 1):
     """Return (mean, components[k, F], fit_scores_or_None). scipy-sparse X
     flows through the residency / column-streamed routes blockwise; the
-    small-matrix routes densify (sub-threshold by definition)."""
+    small-matrix routes densify (sub-threshold by definition).
+    power_iters applies to the row-streamed (tall atlas) route only — the
+    one where an iteration costs two extra full decode passes."""
     from .core.hostmat import densify, ensure_col_major, is_scipy_sparse
 
     sparse_in = is_scipy_sparse(X)
@@ -264,7 +268,8 @@ def _pca_fit(X, n_components: int):
                 n_components)
         else:
             # tall (atlas) orientation: stream the cell axis instead
-            mean, comps, scores = _pca_fit_row_streamed(X, n_components)
+            mean, comps, scores = _pca_fit_row_streamed(
+                X, n_components, power_iters=power_iters)
         signs = _component_signs(comps)
         if isinstance(scores, jax.Array):
             # device scores stay on device (atlas-scale: see the
@@ -328,8 +333,9 @@ class PCA:
     never re-project the full matrix.
     """
 
-    def __init__(self, n_components: int):
+    def __init__(self, n_components: int, power_iters: int = 1):
         self.n_components = int(n_components)
+        self.power_iters = int(power_iters)
         self.mean_: Optional[np.ndarray] = None
         self.components_: Optional[np.ndarray] = None
         self.scores_: Optional[np.ndarray] = None
@@ -338,7 +344,8 @@ class PCA:
         from .core.hostmat import as_f32_ndarray, is_scipy_sparse
         if not is_scipy_sparse(X):
             X = as_f32_ndarray(X)   # keeps memmap identity/.filename
-        mean, comps, scores = _pca_fit(X, self.n_components)
+        mean, comps, scores = _pca_fit(X, self.n_components,
+                                       power_iters=self.power_iters)
         # Device-resident: at wide-F shapes the components are ~0.5 GB
         # (512 x 241757) and every transform/inverse consumes them on
         # device anyway — fetching to host and re-uploading costs two
@@ -484,7 +491,7 @@ class Preprocessor:
 
     @classmethod
     def fit(cls, data: np.ndarray, pca_dim: Optional[int] = None,
-            method: str = 'pca') -> 'Preprocessor':
+            method: str = 'pca', power_iters: int = 1) -> 'Preprocessor':
         """Build the per-modality preprocessor exactly as project_jamie does
         (jamie/jamie.py:436-465): PCA to pca_dim (clamped, with warning) then
         scalar standardization; or per-feature standardization if no PCA.
@@ -517,7 +524,7 @@ class Preprocessor:
                 if is_scipy_sparse(data):
                     data = densify(data)   # NLE preclass is small-N only
             else:
-                pca = PCA(n_components=dim)
+                pca = PCA(n_components=dim, power_iters=power_iters)
             sample = pca.fit_transform(data)
             pre = cls(sample, pca=pca, axis=None)
             pre._fit_sample = sample

@@ -230,3 +230,20 @@ def test_transform_fit_device_scores_stay_on_device(monkeypatch):
     # serving transform still host in / host out
     served = pre.transform(x[:7])
     assert isinstance(served, np.ndarray) and served.shape == (7, 8)
+
+
+def test_row_streamed_power_iters_knob(monkeypatch):
+    """pca_power_iters=0 halves the row-streamed route's decode passes;
+    for data whose effective rank is under pca_dim + oversample, the
+    subspace is captured exactly either way (same components up to sign,
+    same scores)."""
+    import jamie_tpu.preprocess as pp
+
+    rng = np.random.RandomState(11)
+    x = (rng.randn(400, 12) @ rng.randn(12, 60)).astype(np.float32)
+    monkeypatch.setattr(pp, '_STREAM_THRESHOLD', 100)
+
+    out1 = np.asarray(pp.PCA(8, power_iters=1).fit_transform(x))
+    out0 = np.asarray(pp.PCA(8, power_iters=0).fit_transform(x))
+    np.testing.assert_allclose(np.abs(out0), np.abs(out1),
+                               rtol=5e-3, atol=5e-3)
