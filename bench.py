@@ -131,6 +131,18 @@ def main():
         jax.block_until_ready(state.params)
         dt = time.perf_counter() - t0
 
+        # Achieved FLOPs / MFU from the compiled executable's own cost
+        # analysis (XLA's flop count for one chunk), so the "train leg is
+        # roofline-bound" claim is auditable from the artifact (VERDICT
+        # round-4 item 7) rather than asserted from HBM arithmetic.
+        train_tflops = None
+        try:
+            cost = trainer._chunk_cost_analysis(cfg.epoch_chunk)
+            if cost and cost.get('flops'):
+                train_tflops = cost['flops'] * n_timed_chunks / dt / 1e12
+        except Exception:
+            pass
+
     epochs = n_timed_chunks * cfg.epoch_chunk
     steps = epochs * trainer.len_dataloader
     cell_samples = steps * trainer.batch_size
@@ -141,7 +153,18 @@ def main():
         'value': round(cells_per_sec, 1),
         'unit': 'cell-samples/s',
         'vs_baseline': round(cells_per_sec / BASELINE_CELLS_PER_SEC, 2),
+        'extra': {},
     }
+    if train_tflops is not None:
+        # v5e peak: 197 TFLOP/s bf16. The train loop is deliberately
+        # MIXED precision (matmul-only bf16; activations/BN/Adam f32 —
+        # full-bf16 measured SLOWER, RESULTS.md round 2) and its model is
+        # ~4.3M params, so the loop is HBM/elementwise-bound by design;
+        # the MFU figure makes that auditable, it is not expected to be
+        # high (VERDICT round-4 item 7).
+        record['extra']['train_achieved_tflops'] = round(train_tflops, 2)
+        record['extra']['train_mfu_vs_v5e_bf16_peak'] = round(
+            train_tflops / 197.0, 4)
     # Progress note on stderr so a pipeline-leg crash doesn't lose the
     # train metric from the log; stdout stays the single JSON line.
     print(json.dumps(record), file=sys.stderr, flush=True)
@@ -174,13 +197,13 @@ def main():
         watchdog.daemon = True
         watchdog.start()
         try:
-            extra = scglue_pipeline()
+            extra = scglue_pipeline_noise_controlled()
         except Exception as e:   # emit the train metric regardless
             extra = {'scglue_pipeline_error': repr(e)[:200]}
         with lock:
             if not settled:
                 settled.append('main')
-                record['extra'] = extra
+                record['extra'].update(extra)
         watchdog.cancel()
     print(json.dumps(record))
 
@@ -197,23 +220,27 @@ def synth_scglue(seed=0):
     actually fed JAMIE (scanpy Chen-2019-ATAC -> preprocessing.scale).
     The round-3 continuous-Gaussian ATAC was unrepresentatively EXPENSIVE
     for the transfer-bound Distance phase (continuous data can only ship
-    bf16; two-valued columns ship as packed bits, 14-16x fewer bytes)."""
+    bf16; two-valued columns ship as packed bits, 14-16x fewer bytes).
+    JAMIE_BENCH_ATAC=continuous restores the round-3 input for an
+    input-variant A/B (the reported rows carry the variant tag — the two
+    workloads are not wall-clock-comparable)."""
     sys.path.insert(0, os.path.join(
         os.path.dirname(os.path.abspath(__file__)), 'examples'))
     from synth import synthesize
+    b1 = (None if os.environ.get('JAMIE_BENCH_ATAC') == 'continuous'
+          else 0.05)
     return synthesize((9190, 28930), (9190, 241757), seed=seed,
-                      binarize1=0.05)
+                      binarize1=b1)
 
 
-def scglue_pipeline():
-    """Full fit_transform at the scGLUE shape; the reference's de-facto
+def scglue_pipeline_once(data):
+    """One full fit_transform at the scGLUE shape; the reference's de-facto
     whole-pipeline benchmark (52,557 s CPU)."""
     from jamie_tpu import JAMIE
     from jamie_tpu.core.residency import (
         enable_encode_cache, reset_transfer_stats, transfer_stats,
     )
 
-    data = synth_scglue()
     # Disk-backed sources replay their link payloads across runs; the
     # host-encode scans were 84% of the Distance phase (RESULTS round 4)
     enable_encode_cache()
@@ -242,6 +269,40 @@ def scglue_pipeline():
         'host_read_s': round(xfer['read_s'], 1),
         'host_encode_s': round(xfer['encode_s'], 1),
     }
+
+
+def scglue_pipeline_noise_controlled():
+    """Median-of-N pipeline figure (VERDICT round-4 item 2): the axon
+    pool's link/chip share swings ~4x hour to hour, and a single-sample
+    artifact let the committed number (190x) and the README headline
+    (335x) disagree by reader's choice. N runs back to back (default 3;
+    JAMIE_BENCH_PIPELINE_REPS overrides, 1 keeps the old cost), report
+    the MEDIAN as the headline plus the min/max band and every run's
+    phase split. Run 1 is the cold-cache floor (XLA + encode caches may
+    be cold); runs 2+ are warm — the median of 3 therefore leans warm,
+    which is the steady-state number a user re-fitting real data sees."""
+    reps = max(int(os.environ.get('JAMIE_BENCH_PIPELINE_REPS', '3')), 1)
+    data = synth_scglue()
+    runs = [scglue_pipeline_once(data) for _ in range(reps)]
+    secs = sorted(r['scglue_pipeline_seconds'] for r in runs)
+    med = secs[len(secs) // 2] if reps % 2 else 0.5 * (
+        secs[len(secs) // 2 - 1] + secs[len(secs) // 2])
+    out = {
+        'scglue_pipeline_seconds': round(med, 1),
+        'scglue_pipeline_vs_ref_cpu': round(SCGLUE_REF_SECONDS / med, 1),
+        'scglue_pipeline_band_seconds': [secs[0], secs[-1]],
+        'scglue_pipeline_band_vs_ref_cpu': [
+            round(SCGLUE_REF_SECONDS / secs[-1], 1),
+            round(SCGLUE_REF_SECONDS / secs[0], 1)],
+        'scglue_pipeline_reps': reps,
+        # Input variant (round-4 advisor): zb5 = binary ATAC z-scored per
+        # column (binarize1=0.05, what the reference notebooks feed JAMIE);
+        # JAMIE_BENCH_ATAC=continuous benches the round-3 continuous-
+        # Gaussian ATAC instead — rows are only comparable within variant.
+        'input_variant': os.environ.get('JAMIE_BENCH_ATAC', 'zb5'),
+        'runs': runs,
+    }
+    return out
 
 
 if __name__ == '__main__':

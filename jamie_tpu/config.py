@@ -129,6 +129,13 @@ class JamieConfig:
     # point iteration tolerates reduced matmul precision — quality validated
     # on real scGEM). 'float32' forces 6-pass exact-f32 matmuls.
     solver_dtype: str = 'bfloat16'
+    # Prime-dual STATE storage: 'bfloat16' persists the first moment +
+    # carried products and the K operands in bf16 between iterations
+    # (arithmetic stays f32; F and M2 stay f32 — their per-step updates
+    # are below bf16 ulp, see solvers/prime_dual.py). 28 -> 18 bytes per
+    # N^2 entry = 1.56x the one-chip dense-N entry ceiling. Quality A/B:
+    # examples/pd_state_bf16_ab.py. Default f32 (exact reference parity).
+    solver_state_dtype: str = 'float32'
     epoch_chunk: int = 100            # epochs per scan-compiled chunk
     # Chunks kept in flight past the one being read back: the host fetches
     # chunk k's (tiny) loss outputs while the device already runs k+1..k+1+L,

@@ -332,8 +332,14 @@ def _encode_csr_chunk(chunk, f):
 
     nnz = int(chunk.nnz)
     r = chunk.shape[0]
-    if not chunk.has_sorted_indices:
-        chunk.sort_indices()   # the decode's sorted-scatter relies on it
+    if not chunk.has_canonical_format:
+        # Duplicate (row, col) entries would be OVERWRITTEN by the decode
+        # scatter (unique_indices=True) while the dense/densify path SUMS
+        # them; sum_duplicates() merges (and sorts — the decode's
+        # sorted-scatter relies on that too). In-place is safe here: every
+        # caller passes a fresh scipy slice of the source matrix.
+        chunk.sum_duplicates()
+        nnz = int(chunk.nnz)
     vkind, c = _classify_vals(chunk.data)
     # uint16 column indices when the width (and the f drop-sentinel) fit —
     # halves the dominant payload for <=65k-feature modalities
@@ -385,6 +391,44 @@ def enable_encode_cache(path: Optional[str] = '~/.cache/jamie_tpu_enc'):
     return ENCODE_CACHE_DIR
 
 
+def content_fingerprint(arr) -> str:
+    """Cheap content-sample hash of a host matrix (dense or scipy CSR/CSC):
+    shape/dtype/strides plus the raw bytes of ~16 sampled rows (or sampled
+    indptr/data/index slices for sparse). Used to (a) catch in-place
+    mutation of an identity-cached array (the id()-keyed device caches
+    cannot see content changes — VERDICT round-4 item 8) and (b) key the
+    on-disk encode cache by view CONTENT, so two equal-shaped views of the
+    same file (mm[:n] vs mm[n:2n], or an offset memmap) can never replay
+    each other's payloads (round-4 advisor finding). Reads a few KB, never
+    the whole matrix."""
+    import hashlib
+    h = hashlib.sha1()
+    data = getattr(arr, 'data', None)
+    indptr = getattr(arr, 'indptr', None)
+    if indptr is not None and not isinstance(arr, np.ndarray):
+        # scipy CSR/CSC: sparsity structure + value samples
+        h.update(f'{arr.shape}|{arr.dtype}|{arr.nnz}'.encode())
+        h.update(np.ascontiguousarray(
+            indptr[::max(1, len(indptr) // 64)]).tobytes())
+        for v in (data, arr.indices):
+            v = np.asarray(v)
+            h.update(np.ascontiguousarray(v[:256]).tobytes())
+            h.update(np.ascontiguousarray(v[-256:]).tobytes())
+            h.update(np.ascontiguousarray(
+                v[:: max(1, v.shape[0] // 16)][:32]).tobytes())
+    else:
+        a = arr
+        h.update(f'{a.shape}|{a.dtype}|{getattr(a, "strides", None)}|'
+                 f'{getattr(a, "offset", 0)}'.encode())
+        n = a.shape[0]
+        step = max(1, n // 16)
+        width = min(a.shape[1], 512) if a.ndim == 2 else None
+        for i in list(range(0, n, step))[:17] + ([n - 1] if n else []):
+            row = a[i, :width] if width is not None else a[i]
+            h.update(np.ascontiguousarray(row).tobytes())
+    return h.hexdigest()
+
+
 def _encode_cache_path(arr, rows: int) -> Optional[str]:
     import os
     fn = getattr(arr, 'filename', None)
@@ -393,9 +437,13 @@ def _encode_cache_path(arr, rows: int) -> Optional[str]:
     try:
         import hashlib
         st = os.stat(fn)
+        # content_fingerprint distinguishes views of the same file (byte
+        # offset, strides, sampled bytes) — (realpath, mtime, size, shape)
+        # alone let mm[:n] and mm[n:2n] replay each other's payloads.
         key = hashlib.sha1(
             f'{os.path.realpath(fn)}|{st.st_mtime_ns}|{st.st_size}|'
-            f'{arr.shape}|{arr.dtype}|{rows}|v1'.encode()).hexdigest()[:20]
+            f'{arr.shape}|{arr.dtype}|{rows}|'
+            f'{content_fingerprint(arr)}|v2'.encode()).hexdigest()[:20]
         return os.path.join(ENCODE_CACHE_DIR, key + '.npz')
     except OSError:
         return None
@@ -709,23 +757,135 @@ def _get_dec_block():
     return dec_block
 
 
+# --------------------------------------------------------------------------
+# SpMM without scatter (VERDICT round-4 item 1): the on-chip CSR block
+# decode is a sorted flat scatter that TPU serializes at ~9.2 M nnz/s
+# (RESULTS.md round-4 probe: an 8.03M-nnz block takes 873.6 ms while its
+# (13421 x 20000) @ (20000 x 522) consumer matmul takes 4.5 ms) — at atlas
+# scale the decode dominated the whole Mapping phase. But every hot
+# consumer of the decoded block is a MATMUL (PCA sketch Xc @ Omega, PCA
+# projection Q^T Xc, cell->landmark Gram x @ lm^T, FPS JL sketch), so the
+# dense block never has to exist: compute CSR @ M directly as windowed
+# one-hot matmuls.
+#
+# Per window of w consecutive nnz (CSR order, so their rows span a small
+# contiguous range): gather the corresponding M rows by column index
+# (G = M[cols], the only irregular op — TPU row-gather vectorizes), build
+# Sv[(span, w)] with Sv[i, j] = vals[j] * [rows[j] == rstart + i] by a
+# broadcast compare (no scatter), and accumulate Sv @ G into the output's
+# [rstart, rstart + span) rows. All MXU + gather work; the scatter is
+# gone. Cost model: gather traffic = nnz * k * 2 B (bf16) + matmul
+# span * w * k FLOPs per window — at the probe shape ~8.8 GB + 0.3 TFLOP
+# vs the serialized decode's 873 ms.
+# --------------------------------------------------------------------------
+
+_spmm_jit = None
+
+
+def _pow2(x: int) -> int:
+    b = 1
+    while b < x:
+        b <<= 1
+    return b
+
+
+def _get_spmm_jit():
+    global _spmm_jit
+    if _spmm_jit is not None:
+        return _spmm_jit
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnames=('w', 'span', 'r', 'k'))
+    def spmm(indptr, cols, vals, M, s, lo, hi, nw, w, span, r, k):
+        """rows [s, s+r) of CSR(indptr, cols, vals) @ M -> (r, k) f32.
+
+        M arrives bf16 (one cast outside the loop halves gather traffic;
+        f32 accumulation in the window matmul). lo/hi bound the block's
+        nnz range; nw is traced so one executable serves every block of a
+        given (w, span, r, k)."""
+        nnz_len = cols.shape[0]
+        pos = jnp.arange(w, dtype=jnp.int32)
+        ispan = jnp.arange(span, dtype=jnp.int32)
+
+        def body(j, Y):
+            start = lo + j * w
+            cstart = jnp.clip(start, 0, max(nnz_len - w, 0))
+            kidx = cstart + pos
+            c = jax.lax.dynamic_slice(cols, (cstart,), (w,)).astype(
+                jnp.int32)
+            v = jax.lax.dynamic_slice(vals, (cstart,), (w,))
+            rows = (jnp.searchsorted(indptr, kidx, side='right')
+                    .astype(jnp.int32) - 1)
+            rstart = (jnp.searchsorted(indptr, jnp.minimum(start, hi - 1),
+                                       side='right').astype(jnp.int32) - 1)
+            valid = (kidx >= start) & (kidx < hi)
+            onehot = (rows[None, :] - rstart == ispan[:, None]) \
+                & valid[None, :]
+            Sv = jnp.where(onehot, v[None, :], 0).astype(jnp.bfloat16)
+            G = jnp.take(M, c, axis=0)
+            P = jnp.matmul(Sv, G, preferred_element_type=jnp.float32)
+            off = rstart - s
+            blk = jax.lax.dynamic_slice(Y, (off, 0), (span, k))
+            return jax.lax.dynamic_update_slice(Y, blk + P, (off, 0))
+
+        Y = jnp.zeros((r + span, k), jnp.float32)
+        Y = jax.lax.fori_loop(0, nw, body, Y)
+        return Y[:r]
+
+    _spmm_jit = spmm
+    return spmm
+
+
+_row_sq_jit = None
+
+
+def _get_row_sq_jit():
+    """Per-row sum of squared values without scatter: f32 cumsum over the
+    value vector, then boundary differences at indptr (sorted-segment-sum
+    via prefix sums; parallel-prefix error is O(log nnz) ulps)."""
+    global _row_sq_jit
+    if _row_sq_jit is not None:
+        return _row_sq_jit
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def row_sq(indptr, vals):
+        c = jnp.cumsum(vals.astype(jnp.float32) ** 2)
+        cz = jnp.concatenate([jnp.zeros((1,), jnp.float32), c])
+        ip = indptr.astype(jnp.int32)
+        return jnp.take(cz, ip[1:]) - jnp.take(cz, ip[:-1])
+
+    _row_sq_jit = row_sq
+    return row_sq
+
+
 class DeviceCSR:
     """A scipy CSR matrix resident on device in padded-CSR form.
 
     Uploaded ONCE (indptr int32, cols uint16/int32, vals bf16 — ~6
     bytes/nnz, 2.4 GB less than dense bf16 at the 100k-cell 3%-dense
     atlas shapes); every `rows(s, e)` call decodes a dense f32 block
-    with pure chip work. This is what makes multi-pass streamed
-    consumers (cell->landmark weights, then 2-3 row-streamed PCA passes
-    over the SAME matrix) cost one upload instead of re-shipping the
-    matrix per pass — at the axon pool's worst measured link rates the
-    re-streaming dominated the whole atlas fit."""
+    with pure chip work, and every `matmul`/`tmatmul` call computes
+    CSR @ M / X^T @ Q directly without materializing the dense block at
+    all (see the SpMM note above). This is what makes multi-pass
+    streamed consumers (cell->landmark weights, then 2-3 row-streamed
+    PCA passes over the SAME matrix) cost one upload instead of
+    re-shipping the matrix per pass — at the axon pool's worst measured
+    link rates the re-streaming dominated the whole atlas fit."""
 
     def __init__(self, X):
         import jax
         import jax.numpy as jnp
-        if not X.has_sorted_indices:
-            X.sort_indices()
+        if not X.has_canonical_format:
+            # Non-canonical CSR (unsorted and/or duplicate entries): the
+            # decode scatter assumes sorted unique indices, and duplicates
+            # must SUM (matching the dense path), not overwrite. Work on a
+            # copy — the residency contract is read-only inputs, so never
+            # mutate the caller's matrix in place.
+            X = X.copy()
+            X.sum_duplicates()
         n, f = X.shape
         self.shape = (int(n), int(f))
         self._indptr_np = np.asarray(X.indptr, np.int64)
@@ -737,6 +897,8 @@ class DeviceCSR:
         self.indptr = jnp.asarray(self._indptr_np.astype(np.int32))
         self.cols = jnp.asarray(cols)
         self.vals = jnp.asarray(vals)
+        self._csc = None          # lazy (colptr_np, colptr, rows, vals)
+        self._row_sq = None       # lazy (n,) f32 cache
         jax.block_until_ready((self.indptr, self.cols, self.vals))
 
     def rows(self, s: int, e: int):
@@ -752,6 +914,88 @@ class DeviceCSR:
         return _get_dec_block()(self.indptr, self.cols, self.vals, s,
                                 r=r, f=self.shape[1], w=w)
 
+    @staticmethod
+    def _spmm(indptr_np, indptr, cols, vals, M, s, e,
+              span_target: int = 128):
+        """Shared host-side window plan + kernel dispatch for
+        matmul/tmatmul. The plan picks the nnz window w so a window spans
+        ~span_target rows on average, then takes the MAX actual span over
+        windows (from the host indptr copy) as the kernel's static bound —
+        entries can never be dropped. Both w and span round to powers of
+        two to bound recompiles."""
+        import jax.numpy as jnp
+        r = e - s
+        k = int(M.shape[1])
+        lo, hi = int(indptr_np[s]), int(indptr_np[e])
+        if hi == lo:
+            return jnp.zeros((r, k), jnp.float32)
+        avg = max((hi - lo) / max(r, 1), 1.0)
+        w = int(np.clip(_pow2(int(span_target * avg)), 4096, 1 << 18))
+        w = min(w, _pow2(int(cols.shape[0])), _pow2(hi - lo))
+        if w > int(cols.shape[0]):
+            w = int(cols.shape[0])   # tiny matrix: whole-nnz window
+        starts = np.arange(lo, hi, w, dtype=np.int64)
+        row_of = np.searchsorted(indptr_np, starts, side='right') - 1
+        ends = np.minimum(starts + w, hi) - 1
+        row_end = np.searchsorted(indptr_np, ends, side='right') - 1
+        span = min(_pow2(int((row_end - row_of).max()) + 1), _pow2(r))
+        Mb = M.astype(jnp.bfloat16)
+        return _get_spmm_jit()(
+            indptr, cols, vals, Mb,
+            jnp.asarray(s, jnp.int32), jnp.asarray(lo, jnp.int32),
+            jnp.asarray(hi, jnp.int32),
+            jnp.asarray(len(starts), jnp.int32),
+            w=w, span=int(span), r=r, k=k)
+
+    def matmul(self, M, s: int = 0, e: Optional[int] = None):
+        """X[s:e] @ M as pure chip work, (e-s, k) f32 — no dense block.
+        M: (f, k) device/host array; cast to bf16 on device (the same
+        rounding every resident consumer applies), f32 accumulation."""
+        e = self.shape[0] if e is None else min(e, self.shape[0])
+        return self._spmm(self._indptr_np, self.indptr, self.cols,
+                          self.vals, M, s, e)
+
+    def _ensure_csc(self):
+        """Build the CSC twin ON DEVICE (argsort by column — zero link
+        traffic) for the transposed products. Lazy: only the PCA
+        projection pass needs it. Adds ~6 B/nnz of HBM (i32 rows + bf16
+        vals) plus transient sort buffers."""
+        if self._csc is not None:
+            return
+        import jax
+        import jax.numpy as jnp
+        nnz = int(self.cols.shape[0])
+        n, f = self.shape
+        rows = (jnp.searchsorted(self.indptr,
+                                 jnp.arange(nnz, dtype=jnp.int32),
+                                 side='right').astype(jnp.int32) - 1)
+        order = jnp.argsort(self.cols.astype(jnp.int32))
+        csc_rows = jnp.take(rows, order)
+        csc_vals = jnp.take(self.vals, order)
+        sorted_cols = jnp.take(self.cols.astype(jnp.int32), order)
+        colptr = jnp.searchsorted(
+            sorted_cols, jnp.arange(f + 1, dtype=jnp.int32),
+            side='left').astype(jnp.int32)
+        jax.block_until_ready((csc_rows, csc_vals, colptr))
+        colptr_np = np.asarray(colptr, np.int64)    # small (f+1,) fetch
+        self._csc = (colptr_np, colptr, csc_rows, csc_vals)
+
+    def tmatmul(self, Q):
+        """X^T @ Q as pure chip work, (f, k) f32 — the PCA projection
+        B = (Q^T Xc)^T without a dense block. Q: (n, k). Runs the same
+        windowed SpMM over the on-device CSC (CSR of X^T)."""
+        self._ensure_csc()
+        colptr_np, colptr, csc_rows, csc_vals = self._csc
+        return self._spmm(colptr_np, colptr, csc_rows, csc_vals, Q,
+                          0, self.shape[1])
+
+    def row_sq_sums(self):
+        """Per-row sum of squared (bf16-rounded) values, (n,) f32 — the
+        |x|^2 term of the cell->landmark Gram, cached."""
+        if self._row_sq is None:
+            self._row_sq = _get_row_sq_jit()(self.indptr, self.vals)
+        return self._row_sq
+
 
 # id(X) -> (weakref, DeviceCSR); mirrors the bf16 residency cache so the
 # landmark-weights pass and the PCA passes share one upload
@@ -766,7 +1010,13 @@ def device_csr(X, budget_bytes: Optional[int] = None):
     key = id(X)
     hit = _csr_cache.get(key)
     if hit is not None and hit[0]() is X:
-        return hit[1]
+        if content_fingerprint(X) == hit[2]:
+            return hit[1]
+        warnings.warn(
+            'device_csr: cached host matrix was mutated in place; '
+            'rebuilding the device copy (the residency contract is '
+            'read-only inputs)', stacklevel=2)
+        del _csr_cache[key]
     budget = DEFAULT_BUDGET_BYTES if budget_bytes is None else budget_bytes
     # Match DeviceCSR's actual layout: uint16 cols below 65k features
     # (2 B) else int32 (4 B), bf16 vals (2 B), int32 indptr. The old flat
@@ -781,7 +1031,7 @@ def device_csr(X, budget_bytes: Optional[int] = None):
     def _evict(_, key=key):
         _csr_cache.pop(key, None)
 
-    _csr_cache[key] = (weakref.ref(X, _evict), dev)
+    _csr_cache[key] = (weakref.ref(X, _evict), dev, content_fingerprint(X))
     return dev
 
 
@@ -885,9 +1135,14 @@ def device_bf16(arr, budget_bytes: Optional[int] = None):
     key = id(arr)
     hit = _cache.get(key)
     if hit is not None:
-        ref, dev = hit
+        ref, dev, fp = hit
         if ref() is arr:
-            return dev
+            if content_fingerprint(arr) == fp:
+                return dev
+            warnings.warn(
+                'device_bf16: cached host matrix was mutated in place; '
+                'rebuilding the device copy (the residency contract is '
+                'read-only inputs)', stacklevel=2)
         del _cache[key]
     try:
         # The callback evicts the entry (dropping the multi-GB device copy)
@@ -899,7 +1154,7 @@ def device_bf16(arr, budget_bytes: Optional[int] = None):
     # Cast to bf16 on the HOST so the link carries 2 bytes per element —
     # the transfer, not the cast, is the bottleneck (see host_bf16).
     dev = build_resident_bf16(arr)
-    _cache[key] = (ref, dev)
+    _cache[key] = (ref, dev, content_fingerprint(arr))
     return dev
 
 

@@ -284,7 +284,8 @@ class JAMIE:
                         epsilon=cfg.epsilon, delay=cfg.delay,
                         log_pd=cfg.log_pd,
                         precision=('highest' if cfg.solver_dtype == 'float32'
-                                   else 'default'))
+                                   else 'default'),
+                        state_dtype=cfg.solver_state_dtype)
                 elif cfg.corr_method == 'unioncom':
                     F = self.Prime_Dual(
                         [self.dist[i], self.dist[j]],
@@ -306,6 +307,7 @@ class JAMIE:
             delay=cfg.delay, log_pd=cfg.log_pd, verbose=verbose,
             precision=('highest' if cfg.solver_dtype == 'float32'
                        else 'default'),
+            state_dtype=cfg.solver_state_dtype,
             mesh=self.mesh)
 
     def com_corr(self, dist):

@@ -24,13 +24,13 @@ import jax.numpy as jnp
 import numpy as np
 
 # Metrics with an MXU-friendly device implementation
-_DEVICE_METRICS = ('euclidean', 'l2', 'sqeuclidean', 'cosine', 'correlation')
+_DEVICE_METRICS = ('euclidean', 'l2', 'sqeuclidean', 'cosine', 'correlation',
+                   'kulsinski', 'sokalmichener', 'wminkowski')
 _HOST_FALLBACK_METRICS = (
     'l1', 'manhattan', 'cityblock', 'braycurtis', 'canberra', 'chebyshev',
-    'dice', 'hamming', 'jaccard', 'kulsinski', 'mahalanobis', 'matching',
+    'dice', 'hamming', 'jaccard', 'mahalanobis', 'matching',
     'minkowski', 'rogerstanimoto', 'russellrao', 'seuclidean',
-    'sokalmichener', 'sokalsneath', 'yule', 'wminkowski', 'nan_euclidean',
-    'haversine',
+    'sokalsneath', 'yule', 'nan_euclidean', 'haversine',
 )
 
 
@@ -89,17 +89,26 @@ def _pairwise_euclidean_feature_chunked(x, y, squared, self_dist,
     continuous link format applies."""
     from ..core.residency import ChunkUploader
 
+    def _col_source(a):
+        # Per-argument guard (round-4 advisor): a device-resident operand
+        # is sliced directly in HBM — wrapping it in ChunkUploader would
+        # FETCH every block back through the ~1-10 MB/s tunnel only to
+        # re-upload it. Only host-side inputs stream through the uploader.
+        if isinstance(a, jax.Array):
+            return lambda s, e: a[:, s:e].astype(jnp.float32)
+        return ChunkUploader(a).cols
+
     n, f = x.shape
     m = y.shape[0]
     chunk = max(int(chunk_bytes / ((n + m) * 4)), 1024)
     acc = jnp.zeros((n, m), jnp.float32)
     x_sq = jnp.zeros((n,), jnp.float32)
     y_sq = jnp.zeros((m,), jnp.float32)
-    upx = ChunkUploader(x)
-    upy = upx if (self_dist and y is x) else ChunkUploader(y)
+    xcols = _col_source(x)
+    ycols = xcols if (self_dist and y is x) else _col_source(y)
     for start in range(0, f, chunk):
-        xb = upx.cols(start, start + chunk)
-        yb = xb if (self_dist and y is x) else upy.cols(start, start + chunk)
+        xb = xcols(start, start + chunk)
+        yb = xb if (self_dist and y is x) else ycols(start, start + chunk)
         acc, x_sq, y_sq = _gram_accum(acc, x_sq, y_sq, xb, yb)
     d2 = x_sq[:, None] + y_sq[None, :] - 2.0 * acc
     d2 = jnp.maximum(d2, 0.0)
@@ -207,8 +216,9 @@ def _pairwise_euclidean_impl(x, y=None, squared=False, block=4096, mesh=None):
                 else np.asarray(x))
             if xdev is not None:
                 return _euclidean_resident_bf16(xdev, squared, True)
-        xs = ensure_col_major(x)
-        ys = xs if y is None else ensure_col_major(y)
+        xs = x if isinstance(x, jax.Array) else ensure_col_major(x)
+        ys = (xs if y is None
+              else y if isinstance(y, jax.Array) else ensure_col_major(y))
         return _pairwise_euclidean_feature_chunked(
             xs, ys, squared, self_dist)
     if is_scipy_sparse(x):
@@ -302,6 +312,63 @@ def _rank_rows(x: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(rank1)(x)
 
 
+# --------------------------------------------------------------------------
+# Boolean set-membership metrics dropped by modern sklearn/scipy.
+# The reference advertises the pinned-old-sklearn metric list
+# (jamie/jamie.py:117-127) including kulsinski / sokalmichener /
+# wminkowski, all removed upstream (kulsinski: scipy 1.11; wminkowski:
+# scipy 1.8; sokalmichener: scipy 1.17; sklearn 1.9 rejects all three).
+# Implemented natively with the removed versions' formulas — the boolean
+# pair counts come from ONE bool Gram matmul (c_TT = B B^T, c_TF/c_FT from
+# row sums), which rides the MXU instead of scipy's per-pair loops.
+# --------------------------------------------------------------------------
+
+
+@jax.jit
+def _kulsinski_dist(x):
+    """scipy<=1.10 kulsinski: (c_TF + c_FT - c_TT + n) / (c_FT + c_TF + n),
+    booleans taken as (x != 0)."""
+    b = (x != 0).astype(jnp.float32)
+    n = jnp.float32(x.shape[1])
+    s = jnp.sum(b, axis=1)
+    ctt = b @ b.T
+    r = s[:, None] + s[None, :] - 2.0 * ctt        # c_TF + c_FT
+    return (r - ctt + n) / (r + n)
+
+
+@jax.jit
+def _sokalmichener_dist(x):
+    """scipy<=1.16 sokalmichener: 2R / (S + 2R) with R = c_TF + c_FT and
+    S = c_FF + c_TT, booleans taken as (x != 0)."""
+    b = (x != 0).astype(jnp.float32)
+    n = jnp.float32(x.shape[1])
+    s = jnp.sum(b, axis=1)
+    ctt = b @ b.T
+    r = s[:, None] + s[None, :] - 2.0 * ctt
+    s_agree = n - r                                 # c_FF + c_TT
+    return jnp.where(r > 0, 2.0 * r / (s_agree + 2.0 * r), 0.0)
+
+
+@partial(jax.jit, static_argnames=('p',))
+def _wminkowski_block(xb, y, w, p: float):
+    d = jnp.sum(jnp.abs((xb[:, None, :] - y[None, :, :]) * w) ** p, axis=-1)
+    return d ** (1.0 / p)
+
+
+def _wminkowski_dist(x, p: float = 2.0, w=None, block: int = 256):
+    """scipy<1.8 wminkowski: (sum_i |w_i (u_i - v_i)|^p)^(1/p). w defaults
+    to ones (plain minkowski; old callers had to pass w explicitly — the
+    reference never does, it only advertises the name). Row-blocked so the
+    (B, N, F) broadcast intermediate stays bounded."""
+    xj = jnp.asarray(x, jnp.float32)
+    n = xj.shape[0]
+    wj = (jnp.ones((xj.shape[1],), jnp.float32) if w is None
+          else jnp.asarray(w, jnp.float32))
+    parts = [_wminkowski_block(xj[s:s + block], xj, wj, p)
+             for s in range(0, n, block)]
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+
 def pairwise_distance(x, metric: str = 'euclidean', block: int = 4096,
                       mesh=None):
     """N x N distance matrix for one dataset (device for hot metrics).
@@ -326,10 +393,23 @@ def pairwise_distance(x, metric: str = 'euclidean', block: int = 4096,
             return _angular_sharded(xp, metric == 'correlation',
                                     _rows_sharding(mesh), xj.shape[0])
         return (_cosine_dist if metric == 'cosine' else _correlation_dist)(xj)
+    if metric == 'kulsinski':
+        return _kulsinski_dist(jnp.asarray(x, jnp.float32))
+    if metric == 'sokalmichener':
+        return _sokalmichener_dist(jnp.asarray(x, jnp.float32))
+    if metric == 'wminkowski':
+        return _wminkowski_dist(x)
     if metric in _HOST_FALLBACK_METRICS:
         from sklearn.metrics.pairwise import pairwise_distances
-        return jnp.asarray(
-            pairwise_distances(np.asarray(x), metric=metric), jnp.float32)
+        try:
+            return jnp.asarray(
+                pairwise_distances(np.asarray(x), metric=metric),
+                jnp.float32)
+        except (ValueError, TypeError) as e:
+            raise ValueError(
+                f'metric {metric!r} is advertised for parity with the '
+                f'reference (jamie/jamie.py:117-127) but the installed '
+                f'sklearn/scipy no longer implements it: {e}') from e
     raise ValueError(f'Unknown metric {metric!r}')
 
 

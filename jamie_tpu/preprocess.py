@@ -194,10 +194,19 @@ def _pca_fit_row_streamed(X, n_components: int, oversample: int = 10,
         mean = jnp.asarray(acc / n, jnp.float32)
 
     omega = jax.random.normal(key, (f, k), jnp.float32)
+    # Device-resident CSR sources skip the dense block decode entirely:
+    # the decode is a serialized TPU scatter (~9.2M nnz/s, round-4 probe)
+    # while both PCA passes only ever MATMUL the block — DeviceCSR.matmul/
+    # tmatmul compute X @ M and X^T @ Q directly as gather + one-hot
+    # matmuls (core/residency.py SpMM note), turning the dominant atlas
+    # Mapping cost into MXU/bandwidth work.
+    dcsr = getattr(up, 'dcsr', None)
 
     def sketch(M):
         """Y = Xc M, streamed over row blocks: (n, k) stays on device."""
         mo = mean @ M                                   # (k,)
+        if dcsr is not None:
+            return dcsr.matmul(M) - mo[None, :]
         parts = []
         for s in range(0, n, rows):
             xb = up.rows(s, s + rows)
@@ -207,6 +216,8 @@ def _pca_fit_row_streamed(X, n_components: int, oversample: int = 10,
     def project(Q):
         """B = Q^T Xc, streamed: (k, f) accumulator on device."""
         B = -jnp.sum(Q, axis=0)[:, None] * mean[None, :]
+        if dcsr is not None:
+            return B + dcsr.tmatmul(Q).T
         for s in range(0, n, rows):
             xb = up.rows(s, s + rows)
             B = B + Q[s:s + rows].T @ xb
@@ -543,9 +554,19 @@ class Preprocessor:
         round-trip; the raw sample's HBM is released afterwards (this is
         the one consumer; at 1M cells each copy is 2.1 GB). Same NaN->0
         semantics as the host path (inf from a zero std passes through
-        there too)."""
+        there too).
+
+        ONE-SHOT on the device path: the standardize donates the score
+        buffer, so the raw `_fit_sample` / `pca.scores_` are gone after
+        the first call (a deliberate trade — keeping them doubles peak
+        HBM at atlas scale). The host path stays repeatable; a second
+        device-path call raises below instead of recomputing."""
         sample = getattr(self, '_fit_sample', None)
-        assert sample is not None
+        if sample is None:
+            raise RuntimeError(
+                'transform_fit: the device fit sample was already consumed '
+                '(the device path donates the score buffer and is one-shot '
+                'by design; call transform(X) to re-project instead)')
         if isinstance(sample, jax.Array):
             out = _standardize_device(sample, float(self.sample_mean),
                                       float(self.sample_std))

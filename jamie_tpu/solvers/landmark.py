@@ -99,6 +99,9 @@ def _project_for_fps(arr, rng, dim: int = 256, chunk_rows: int = 8192):
     proj = jnp.asarray(
         rng.randn(d, dim).astype(np.float32) / np.sqrt(dim))
     up = None if isinstance(arr, jax.Array) else ChunkUploader(arr)
+    if up is not None and up.dcsr is not None:
+        # resident CSR: X @ proj directly (SpMM), no dense block decode
+        return up.dcsr.matmul(proj)
     out = []
     for s in range(0, n, chunk_rows):
         xb = (arr[s:s + chunk_rows] if up is None
@@ -133,27 +136,44 @@ def _cell_to_landmark_weights(x, landmarks, k: int, block: int = 8192,
     through the dtype-aware uploader; smaller ones ship exact f32.
     sparse=True returns the k-sparse layout (idx (n, k) i32, w (n, k) f32)
     instead of the dense (n, L) matrix — same weights, O(n k) memory."""
-    from ..core.residency import ChunkUploader
+    from ..core.residency import ChunkUploader, device_csr
 
     lm = jnp.asarray(np.asarray(landmarks), jnp.float32)
     n = x.shape[0]
     L = lm.shape[0]
     from ..core.hostmat import dense_rows
     big = int(n) * int(x.shape[1]) >= 100_000_000
+    # CSR sources of ANY size go device-resident (if the HBM budget
+    # allows) and take the SpMM Gram — one upload, no dense block decode;
+    # the bf16 value rounding is the same link policy every other sparse
+    # path applies. Non-CSR hosts past the threshold stream as before.
+    dcsr = device_csr(x) if not isinstance(x, jax.Array) else None
     up = (ChunkUploader(x)
-          if big and not isinstance(x, jax.Array) else None)
+          if big and dcsr is None and not isinstance(x, jax.Array)
+          else None)
     import time as _time
     verbose = n >= 50_000   # atlas scale: show block progress like the
     t0 = _time.perf_counter()  # prime-dual epoch log does
+    lm_sq = jnp.sum(lm * lm, axis=1) if dcsr is not None else None
     parts = []
     for s in range(0, n, block):
-        if up is not None:
+        if dcsr is not None:
+            # resident CSR: the cell->landmark Gram directly via SpMM —
+            # the dense block decode was the serialized-scatter wall
+            e = min(s + block, n)
+            xlm = dcsr.matmul(lm.T, s, e)            # (r, L)
+            x_sq = dcsr.row_sq_sums()[s:e]
+            d2 = jnp.maximum(x_sq[:, None] + lm_sq[None, :] - 2.0 * xlm,
+                             0.0)
+        elif up is not None:
             xb = up.rows(s, s + block)
+            d2 = pairwise_sq_euclidean(xb, lm)
         elif isinstance(x, jax.Array):
             xb = x[s:s + block].astype(jnp.float32)
+            d2 = pairwise_sq_euclidean(xb, lm)
         else:
             xb = jnp.asarray(dense_rows(x, s, s + block))
-        d2 = pairwise_sq_euclidean(xb, lm)
+            d2 = pairwise_sq_euclidean(xb, lm)
         parts.append(_interp_weights_sparse(d2, min(k, L)) if sparse
                      else _interp_weights(d2, min(k, L), L))
         if verbose:

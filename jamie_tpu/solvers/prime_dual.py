@@ -40,6 +40,11 @@ _PRECISIONS = {
 }
 
 
+@jax.jit
+def _to_f32_jit(x):
+    return x.astype(jnp.float32)
+
+
 def _mm(a, b, precision):
     if precision is None:
         # MXU-native: bf16 inputs, f32 accumulation — explicit cast so the
@@ -51,12 +56,31 @@ def _mm(a, b, precision):
 
 @partial(jax.jit, static_argnames=('n_iters', 'rho', 'epsilon', 'delay',
                                    'precision_name', 'use_pallas',
-                                   'rows_sharding', 'm_real'))
+                                   'rows_sharding', 'm_real',
+                                   'state_dtype'))
 def _run_chunk(carry, i0, Kx, Ky, tr_kx_kx, n_iters: int, rho: float,
                epsilon: float, delay: int, precision_name: str,
                use_pallas: bool = False, rows_sharding=None,
-               m_real: int = 0):
+               m_real: int = 0, state_dtype: str = 'float32'):
     precision = _PRECISIONS[precision_name]
+    # bf16 state (VERDICT round-4 item 6): the first moment and the carried
+    # products (M1, FKy, KxFKy) persist in bf16 between iterations; every
+    # step's arithmetic upcasts to f32 first, so only the STORAGE rounds.
+    # Two closed negative results keep the rest f32:
+    #  - F: its (1-eps) F + eps F_tmp update moves ~eps=1e-3 relative per
+    #    step, below bf16's 2^-8 ulp -> a bf16 F freezes (corr 0.13 vs the
+    #    f32 trajectory at 2k iters).
+    #  - M2: both its decay (0.1%/step) and its increments ((1-pho2) g^2)
+    #    are sub-ulp once M2 > ~0.26 g^2, so M2 freezes near steady state
+    #    (corr 0.988, 11% fro error — an effective-lr bias, not noise).
+    # M1 is increment-dominated ((1-pho1)=0.1 of g per step) and measures
+    # IDENTICAL to the accepted default-vs-highest matmul noise (corr
+    # 1.0000 / argmax 0.97); the products add ~5e-4 relative (corr 0.9995).
+    # a / S / Mu / Lambda (O(m+n)) stay f32. Quality on real data:
+    # examples/pd_state_bf16_ab.py.
+    st_dt = jnp.bfloat16 if state_dtype == 'bfloat16' else jnp.float32
+    big_store = lambda x: x.astype(st_dt)
+    big_load = lambda x: x.astype(jnp.float32)
     pho1, pho2, dlt = 0.9, 0.999, 1e-7  # 10e-8 in the reference (jamie.py:349)
 
     if rows_sharding is not None:
@@ -84,8 +108,9 @@ def _run_chunk(carry, i0, Kx, Ky, tr_kx_kx, n_iters: int, rho: float,
 
     def step(t, carry):
         F, S, Mu, Lambda, M1, M2, a, FKy, KxFKy = carry
-        F, M1, M2, FKy, KxFKy = (shard(F), shard(M1), shard(M2),
-                                 shard(FKy), shard(KxFKy))
+        F, M2 = shard(F), shard(M2)
+        M1, FKy, KxFKy = (shard(big_load(M1)), shard(big_load(FKy)),
+                          shard(big_load(KxFKy)))
         i = i0 + t + 1  # 1-based Adam timestep (incremented pre-update, :374)
 
         inner = _mm(F.T, FKy, precision)            # (n, n)
@@ -130,7 +155,8 @@ def _run_chunk(carry, i0, Kx, Ky, tr_kx_kx, n_iters: int, rho: float,
         # tr(Kx (F Ky) F^T) = sum(Kx @ (F Ky) * F)
         a_new = jnp.sum(KxFKy * F) / tr_kx_kx
         a = jnp.where(i >= delay, a_new, a)
-        return (F, S, Mu, Lambda, M1, M2, a, FKy, KxFKy)
+        return (F, S, Mu, Lambda, big_store(M1), M2,
+                a, big_store(FKy), big_store(KxFKy))
 
     return jax.lax.fori_loop(0, n_iters, step, carry)
 
@@ -149,6 +175,7 @@ def prime_dual(
     precision: str = 'default',
     use_pallas: bool = None,
     mesh=None,
+    state_dtype: str = 'float32',
 ) -> np.ndarray:
     """Estimate the (m, n) correspondence matrix F.
 
@@ -161,6 +188,13 @@ def prime_dual(
     the scale-out path for cell counts whose N^2 state exceeds one chip's
     HBM — the reference simply ate the memory on host (31.9 GB at 9.2k
     cells, SURVEY.md section 6).
+
+    state_dtype: 'bfloat16' persists the first moment + carried products
+    (M1, FKy, KxFKy) and the K operands in bf16 between iterations —
+    per-step arithmetic stays f32; F and M2 stay f32 (their updates are
+    below bf16 ulp — closed negative results in _run_chunk). 28 -> 18
+    bytes per N^2 entry = 1.56x the one-chip dense-N entry ceiling.
+    Quality A/B: examples/pd_state_bf16_ab.py.
     """
     if Kx.shape == (1, 1) and Ky.shape == (1, 1):
         warnings.warn('1x1 distance matrix, escaping...')
@@ -185,6 +219,12 @@ def prime_dual(
     # materialized SHARDED when a mesh is given, so the five O(m*n) state
     # arrays never exist whole on one chip. Eagerly these are ~10 one-op
     # dispatches, each a remote-compile round-trip on tunneled backends.
+    # bf16 state halves every O(N^2) buffer; the K operands only join when
+    # the matmul path is the bf16 MXU default anyway ('highest'-precision
+    # parity checks keep f32 operands).
+    st_dt = (jnp.bfloat16 if state_dtype == 'bfloat16' else jnp.float32)
+    k_dt = st_dt if precision == 'default' else jnp.float32
+
     @partial(jax.jit, static_argnames=('m_pad', 'n', 'N'))
     def _prep(Kx, Ky, a0, m_pad, n, N):
         shard = ((lambda x: jax.lax.with_sharding_constraint(x, rows_sharding))
@@ -195,15 +235,16 @@ def prime_dual(
         dm = m_pad - Kx.shape[0]
         if dm:
             Kx = jnp.pad(Kx, ((0, dm), (0, dm)))
-        Kx = shard(Kx)
-        zeros_mn = lambda: shard(jnp.zeros((m_pad, n), jnp.float32))
+        Kx = shard(Kx.astype(k_dt))
+        Ky = Ky.astype(k_dt)
+        zeros_mn = lambda dt=st_dt: shard(jnp.zeros((m_pad, n), dt))
         carry = (
-            zeros_mn(),                           # F
+            zeros_mn(jnp.float32),                # F (f32 ALWAYS — above)
             jnp.zeros((n, 1), jnp.float32),       # S
             jnp.zeros((m_pad, 1), jnp.float32),   # Mu
             jnp.zeros((n, 1), jnp.float32),       # Lambda
             zeros_mn(),                           # first moment
-            zeros_mn(),                           # second moment
+            zeros_mn(jnp.float32),                # second moment (f32 ALWAYS)
             a0.astype(jnp.float32),               # a
             zeros_mn(),                           # FKy
             zeros_mn(),                           # Kx FKy
@@ -248,7 +289,8 @@ def prime_dual(
         carry = _run_chunk(carry, jnp.asarray(i, jnp.int32), Kx, Ky,
                            tr_kx_kx, chunk, float(rho), float(epsilon),
                            int(delay), precision, bool(use_pallas),
-                           rows_sharding, m if m_pad > m else 0)
+                           rows_sharding, m if m_pad > m else 0,
+                           state_dtype)
         i += chunk
         if verbose and i % log_every == 0:
             F, _, _, _, _, _, a, FKy, _ = carry
@@ -260,6 +302,8 @@ def prime_dual(
     # host round-trip of the N x N matrix (338 MB at 9k cells) is pure
     # transfer waste; np consumers fetch transparently via __array__.
     F = carry[0]
+    if F.dtype != jnp.float32:
+        F = _to_f32_jit(F)   # consumers (trainer operands, np) expect f32
     if m_pad > m:
         F = F[:m]  # drop the sharding pad rows (they are exactly zero)
     return F

@@ -544,9 +544,30 @@ class JamieTrainer:
             # loop's dominant cost — RESULTS.md round-2 A/B). Callers never
             # reuse the donated state object; fit() reassigns it per chunk.
             jitted = jax.jit(body, donate_argnums=(0,))
+            self._chunk_jit_cache = getattr(self, '_chunk_jit_cache', {})
+            self._chunk_jit_cache[chunk] = jitted
             self._chunk_fn_cache[chunk] = \
                 lambda state: jitted(state, *self._operands())
         return self._chunk_fn_cache[chunk]
+
+    def _chunk_cost_analysis(self, chunk: int):
+        """XLA cost analysis of the compiled epoch-chunk executable
+        ({'flops': ..., ...}) — the auditable basis for the bench
+        artifact's achieved-TFLOPs/MFU figure. Requires _chunk_fn(chunk)
+        to have run at least once (the jit cache traces on first call);
+        returns None when the backend exposes no cost analysis."""
+        jitted = getattr(self, '_chunk_jit_cache', {}).get(chunk)
+        if jitted is None:
+            return None
+        try:
+            state = self.init_state()
+            compiled = jitted.lower(state, *self._operands()).compile()
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] if ca else None
+            return dict(ca) if ca else None
+        except Exception:
+            return None
 
     # ------------------------------------------------------------------ fit
     def fit(self, state: Optional[TrainState] = None,

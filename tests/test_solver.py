@@ -61,3 +61,46 @@ def test_lowrank_corr_smoke():
     corr = lowrank_corr(Kx, Kx, dim=4, epochs=50, topk=3)
     assert corr.shape == (15, 15)
     np.testing.assert_allclose(corr.sum(axis=1), 3)  # top-k binarized rows
+
+
+def test_prime_dual_bf16_state_close_to_f32():
+    """solver_state_dtype='bfloat16' (M1 + carried products + K operands
+    stored bf16; F and M2 f32 — see the closed negative results in
+    solvers/prime_dual.py) must track the f32-state trajectory to within
+    the same order as the accepted bf16-matmul noise."""
+    rng = np.random.RandomState(3)
+    x = rng.randn(60, 8).astype(np.float32)
+    y = x[rng.permutation(60)] + 0.01 * rng.randn(60, 8).astype(np.float32)
+    Kx = np.asarray(pairwise_distance(x))
+    Ky = np.asarray(pairwise_distance(y))
+    F32 = np.asarray(prime_dual(Kx, Ky, dx=8, dy=8, epoch_pd=800,
+                                verbose=False))
+    Fb = np.asarray(prime_dual(Kx, Ky, dx=8, dy=8, epoch_pd=800,
+                               verbose=False, state_dtype='bfloat16'))
+    assert Fb.dtype == np.float32
+    assert np.isfinite(Fb).all() and (Fb >= 0).all()
+    corr = np.corrcoef(F32.ravel(), Fb.ravel())[0, 1]
+    assert corr > 0.998, corr
+    rel = np.linalg.norm(F32 - Fb) / max(np.linalg.norm(F32), 1e-12)
+    assert rel < 0.05, rel
+
+
+def test_prime_dual_bf16_state_sharded_matches_unsharded():
+    """bf16 state + mesh sharding compose (the padded rows stay masked)."""
+    import jax
+    from jamie_tpu.core.mesh import create_mesh
+
+    if len(jax.devices()) < 4:
+        import pytest
+        pytest.skip('needs the virtual multi-device mesh')
+    mesh = create_mesh(shape=(4,), axis_names=('data',),
+                       devices=jax.devices()[:4])
+    rng = np.random.RandomState(4)
+    x = rng.randn(21, 5).astype(np.float32)   # odd N: pad path
+    Kx = np.asarray(pairwise_distance(x))
+    F_ref = np.asarray(prime_dual(Kx, Kx, dx=5, dy=5, epoch_pd=200,
+                                  verbose=False, state_dtype='bfloat16'))
+    F_sh = np.asarray(prime_dual(Kx, Kx, dx=5, dy=5, epoch_pd=200,
+                                 verbose=False, state_dtype='bfloat16',
+                                 mesh=mesh))
+    np.testing.assert_allclose(F_sh, F_ref, rtol=1e-3, atol=1e-5)
