@@ -1,0 +1,187 @@
+"""scMNC-Motor gene-transform provenance via solver-telemetry fingerprint.
+
+VERDICT round-4 item 4. The notebook's modality-2 input
+(efeature_filtered.csv) is present and byte-identical to the rda's edata
+(max|delta| 5e-13), and the rda's gene matrix is the SAME filtered
+1286-gene x 1208-cell set the notebook used (cell-8 prints Dataset 0:
+(1208, 1286)) — only geneExp_filtered.csv's normalization is unknown.
+
+But the notebook PRINTED the Prime-Dual telemetry (scMNC-Motor.ipynb
+cell 8):
+
+    epoch:[500/2000]  err:0.3861 alpha:0.0050
+    epoch:[1000/2000] err:3.3359 alpha:0.0249
+    epoch:[1500/2000] err:5.7469 alpha:0.0598
+    epoch:[2000/2000] err:7.0836 alpha:0.0926
+
+err = ||a Kx - F Ky F^T||_F and alpha are DETERMINISTIC functions of the
+two distance matrices (jamie/jamie.py:404-414); Ky is exact, so the 8
+printed digits fingerprint the unknown transform of the gene matrix.
+Replaying the solver over a candidate-transform zoo and matching the
+trace identifies (or excludes) the provenance directly, instead of
+scoring 14 transforms by downstream LTA (the round-3 sweep).
+
+Run solo on the real chip:
+  PYTHONPATH=/root/repo:/root/repo/examples:/root/.axon_site \
+      python -u examples/motor_provenance_fingerprint.py
+Add --confirm NAME to re-run one candidate at f32-exact matmul precision.
+"""
+
+import argparse
+import contextlib
+import io
+import json
+import re
+
+import numpy as np
+
+REF_TRACE = {500: (0.3861, 0.0050), 1000: (3.3359, 0.0249),
+             1500: (5.7469, 0.0598), 2000: (7.0836, 0.0926)}
+
+DATA = '/root/reference/examples/data/scMNC/mouse_motor_cortex/data/'
+
+
+def load_raw():
+    from jamie_tpu.rdata import load_rda
+    d = load_rda(DATA + 'motor_data_filtered.rda')
+    X = d['gdata']['matrix'].T.astype(np.float64)     # cells x genes, raw
+    e = d['edata']
+    efeat = [k for k in e if k != '__row_names__']
+    E = np.stack([np.asarray(e[k], np.float64) for k in efeat], 1)
+    return X, E
+
+
+def candidates():
+    """name -> transform(raw counts cells x genes) -> normalized matrix.
+    Everything the round-3 sweep covered plus the verdict's asks (scran
+    size factors, Pearson residuals over a theta grid, rank-quantile)."""
+
+    def depth(X):
+        return np.maximum(X.sum(1, keepdims=True), 1.0)
+
+    def cpm(X, scale):
+        return X / depth(X) * scale
+
+    def pearson_residuals(X, theta):
+        # analytic Pearson residuals (Lause/Berens/Kobak 2021; the
+        # sctransform v2 approximation): mu = depth * gene_total / total,
+        # r = (x - mu) / sqrt(mu + mu^2/theta), clipped at sqrt(n)
+        d = X.sum(1, keepdims=True)
+        g = X.sum(0, keepdims=True)
+        mu = d * g / max(X.sum(), 1.0)
+        r = (X - mu) / np.sqrt(mu + mu * mu / theta + 1e-12)
+        n = X.shape[0]
+        return np.clip(r, -np.sqrt(n), np.sqrt(n))
+
+    def deseq_size_factors(X):
+        # median-of-ratios (DESeq / scran-flavored) size factors
+        logX = np.log(np.maximum(X, 1e-12))
+        ok = (X > 0).all(0)
+        if not ok.any():
+            ok = (X > 0).mean(0) > 0.95
+        loggeo = logX[:, ok].mean(0, keepdims=False)
+        sf = np.exp(np.median(logX[:, ok] - loggeo[None, :], axis=1))
+        sf = np.where(sf <= 0, 1.0, sf)
+        return X / sf[:, None]
+
+    def rank_quantile(X):
+        # per-gene rank -> standard normal quantiles (ties by average rank)
+        from scipy import stats
+        out = np.empty_like(X)
+        n = X.shape[0]
+        for j in range(X.shape[1]):
+            r = stats.rankdata(X[:, j], method='average')
+            out[:, j] = stats.norm.ppf(r / (n + 1.0))
+        return out
+
+    med = lambda X: float(np.median(X.sum(1)))
+    return {
+        'raw': lambda X: X,
+        'log1p_raw': np.log1p,
+        'log2_raw': lambda X: np.log2(X + 1.0),
+        'log10_raw': lambda X: np.log10(X + 1.0),
+        'cpm1e4': lambda X: cpm(X, 1e4),
+        'cpm1e4_log1p': lambda X: np.log1p(cpm(X, 1e4)),   # Seurat LogNormalize
+        'cpm1e4_log2': lambda X: np.log2(cpm(X, 1e4) + 1.0),
+        'cpm1e5_log1p': lambda X: np.log1p(cpm(X, 1e5)),
+        'cpm1e6_log1p': lambda X: np.log1p(cpm(X, 1e6)),
+        'cpm1e6_log2': lambda X: np.log2(cpm(X, 1e6) + 1.0),  # log2-CPM
+        'cpm_median_log1p': lambda X: np.log1p(cpm(X, med(X))),  # scanpy
+        'sqrt_cpm1e4': lambda X: np.sqrt(cpm(X, 1e4)),
+        'deseq_sf_log1p': lambda X: np.log1p(deseq_size_factors(X)),
+        'pearson_theta10': lambda X: pearson_residuals(X, 10.0),
+        'pearson_theta100': lambda X: pearson_residuals(X, 100.0),
+        'pearson_theta_inf': lambda X: pearson_residuals(X, 1e12),
+        'rank_quantile': rank_quantile,
+    }
+
+
+def solver_trace(Kx, Ky, dx, dy, precision):
+    from jamie_tpu.solvers.prime_dual import prime_dual
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        prime_dual(Kx, Ky, dx=dx, dy=dy, epoch_pd=2000, log_pd=500,
+                   verbose=True, precision=precision)
+    trace = {}
+    for m in re.finditer(r'epoch:\[(\d+)/2000\] err:([0-9.]+) '
+                         r'alpha:([0-9.]+)', buf.getvalue()):
+        trace[int(m.group(1))] = (float(m.group(2)), float(m.group(3)))
+    return trace
+
+
+def score(trace):
+    """Max relative deviation from the reference telemetry over the 8
+    printed numbers (4 errs + 4 alphas)."""
+    devs = []
+    for ep, (err_ref, al_ref) in REF_TRACE.items():
+        if ep not in trace:
+            return float('inf'), []
+        err, al = trace[ep]
+        devs.append(abs(err - err_ref) / max(err_ref, 1e-9))
+        devs.append(abs(al - al_ref) / max(al_ref, 1e-9))
+    return float(np.max(devs)), devs
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--confirm', default=None,
+                    help='single candidate at f32-exact matmul precision')
+    ap.add_argument('--precision', default='default')
+    args = ap.parse_args()
+
+    from sklearn import preprocessing
+    from sklearn.metrics import pairwise_distances
+
+    X, E = load_raw()
+    E = preprocessing.scale(E, axis=0)
+    E[np.isnan(E)] = 0
+    Ky = pairwise_distances(E, metric='euclidean')
+    dx, dy = X.shape[1], E.shape[1]
+
+    zoo = candidates()
+    names = [args.confirm] if args.confirm else list(zoo)
+    precision = 'highest' if args.confirm else args.precision
+
+    results = {}
+    for name in names:
+        Xt = zoo[name](X.copy())
+        Xt = preprocessing.scale(Xt, axis=0)
+        Xt[np.isnan(Xt)] = 0
+        Kx = pairwise_distances(Xt, metric='euclidean')
+        trace = solver_trace(Kx, Ky, dx, dy, precision)
+        dev, devs = score(trace)
+        results[name] = dev
+        print(json.dumps({'candidate': name, 'max_rel_dev': round(dev, 4),
+                          'trace': {k: [round(v[0], 4), round(v[1], 4)]
+                                    for k, v in sorted(trace.items())}}),
+              flush=True)
+
+    ranked = sorted(results.items(), key=lambda kv: kv[1])
+    print(json.dumps({'ranking': [[n, round(d, 4)] for n, d in ranked],
+                      'ref_trace': {k: list(v)
+                                    for k, v in REF_TRACE.items()}}),
+          flush=True)
+
+
+if __name__ == '__main__':
+    main()

@@ -79,6 +79,11 @@ def run_config(name, shape0, shape1, ref_total, epoch_dnn=10000,
     return {
         'dataset': name,
         'shapes': [list(shape0), list(shape1)],
+        # Input variant (round-4 advisor): rows are only wall-clock
+        # comparable within the same variant — zbN = binary ATAC z-scored
+        # per column at density N%, 'continuous' = round-3 Gaussian arm.
+        'input_variant': (f'zb{int(binarize1 * 100)}' if binarize1
+                          else 'continuous'),
         'total_seconds': round(total, 1),
         'reference_cpu_seconds': ref_total,
         'speedup': round(ref_total / total, 1),

@@ -390,7 +390,16 @@ class PCA:
         # below it they ship exact f32.
         from .core.hostmat import dense_rows
         rows = max(int(row_chunk_bytes / (f * 4)), 64)
-        up = ChunkUploader(X) if n * f >= 100_000_000 else None
+        up = ChunkUploader(X) if n * f >= _STREAM_THRESHOLD else None
+        if up is not None and up.dcsr is not None:
+            # resident CSR: project each row block via the scatter-free
+            # SpMM (X @ comps directly — the dense block decode was a
+            # serialized ~9.2M nnz/s scatter, core/residency.py SpMM note)
+            mproj = mean @ comps_t                       # (k,)
+            out = [np.asarray(up.dcsr.matmul(comps_t, s, min(s + rows, n))
+                              - mproj[None, :])
+                   for s in range(0, n, rows)]
+            return np.concatenate(out, axis=0)
         blk = ((lambda s: up.rows(s, s + rows)) if up is not None
                else (lambda s: jnp.asarray(dense_rows(X, s, s + rows))))
         out = [np.asarray(_pca_project(blk(s), mean, comps_t))

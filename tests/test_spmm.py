@@ -180,3 +180,25 @@ def test_row_streamed_pca_spmm_route_matches_dense():
     rec_d = np.asarray(s_d) @ cd
     rec_s = np.asarray(s_s) @ cs
     np.testing.assert_allclose(rec_s, rec_d, rtol=0.1, atol=0.05)
+
+
+def test_pca_transform_spmm_route_matches_dense(monkeypatch):
+    """PCA.transform on a big-threshold CSR input (resident SpMM projection)
+    matches the dense-route projection of the same data."""
+    from jamie_tpu import preprocess as pp
+
+    rng = np.random.RandomState(8)
+    n, f, k = 300, 80, 6
+    base = rng.randn(n, 8) @ rng.randn(8, f)
+    base[rng.rand(n, f) < 0.6] = 0.0
+    base = _bf16(base.astype(np.float32))
+    pca = pp.PCA(n_components=k).fit(base)
+
+    dense_out = pca.transform(base)
+    # force the streaming/resident (dcsr SpMM) path for the sparse input
+    monkeypatch.setattr(pp, '_STREAM_THRESHOLD', 100)
+    sparse_in = sp.csr_matrix(base)
+    out = pca.transform(sparse_in, row_chunk_bytes=f * 4 * 64)
+    # bf16 rounding of the projection operands: ~2^-8 relative on
+    # O(10) scores -> atol a few 1e-2
+    np.testing.assert_allclose(out, dense_out, rtol=5e-2, atol=2e-2)
