@@ -35,11 +35,13 @@ def try_n(n, state_dtype):
 
     Kx = make(jax.random.PRNGKey(0))
     Ky = make(jax.random.PRNGKey(1))
-    jax.block_until_ready((Kx, Ky))
+    # block_until_ready is a weak barrier through the axon tunnel; a
+    # scalar fetch both forces completion and surfaces any OOM error
+    float(Kx[0, 0] + Ky[0, 0])
     t0 = time.perf_counter()
     F = prime_dual(Kx, Ky, dx=32, dy=32, epoch_pd=30, log_pd=1000,
                    verbose=False, state_dtype=state_dtype)
-    jax.block_until_ready(F)
+    float(F[0, 0])
     return time.perf_counter() - t0
 
 

@@ -28,16 +28,36 @@ import numpy as np
 import scipy.sparse as sp
 
 
+_RT = [0.0]     # measured scalar-fetch round-trip, subtracted from timings
+
+
 def timed(fn, reps=5):
-    import jax
+    """block_until_ready is a WEAK barrier through the axon tunnel (round-4
+    probe evidence: identical decode timed 0.3 ms with block_until_ready
+    vs 0.92 s with a forced scalar fetch) — force completion with a tiny
+    readback per rep and subtract the measured round-trip cost."""
     out = fn()
-    jax.block_until_ready(out)            # warmup + compile
+    float(out.sum())                      # warmup + compile + force
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
+        float(fn().sum())
         ts.append(time.perf_counter() - t0)
-    return float(np.median(ts)), out
+    return max(float(np.median(ts)) - _RT[0], 1e-9), out
+
+
+def measure_rt(reps=7):
+    import jax.numpy as jnp
+    x = jnp.zeros((8,), jnp.float32)
+    float(x.sum())                        # compile the sum executable
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(x.sum())
+        ts.append(time.perf_counter() - t0)
+    _RT[0] = float(np.median(ts))
+    print(f'scalar-fetch round-trip: {_RT[0] * 1e3:.1f} ms '
+          '(subtracted from every timing)', flush=True)
 
 
 def main():
@@ -69,6 +89,7 @@ def main():
     d = DeviceCSR(X)
     print(f'nnz={nnz} ({nnz / args.rows:.0f}/row), k={args.k}, '
           f'device={jax.devices()[0].platform}', flush=True)
+    measure_rt()
 
     # reference for correctness (bf16-rounded operands)
     import ml_dtypes
@@ -103,6 +124,60 @@ def main():
               f'({nnz / t / 1e6:8.1f} M nnz/s)', flush=True)
         check(f'spmm[{st}]', out)
 
+    # --- ELL row-gather + fused reduce -------------------------------------
+    # out[i] = sum_n vals[i, n] * M[cols[i, n]] — 2*k FLOPs per nnz (the
+    # gather floor, no one-hot span blowup). Rows padded to the max row
+    # nnz (col 0 / val 0); scanned over row blocks to bound the (B,
+    # nnz_max, k) transient. Production would bucket rows by nnz to bound
+    # padding on skewed real data; synthetic rows here are ~uniform.
+    row_nnz = np.diff(X.indptr)
+    nnz_max = int(row_nnz.max())
+    ell_cols = np.zeros((args.rows, nnz_max), np.int32)
+    ell_vals = np.zeros((args.rows, nnz_max), np.float32)
+    for i in range(args.rows):
+        lo, hi = X.indptr[i], X.indptr[i + 1]
+        ell_cols[i, :hi - lo] = X.indices[lo:hi]
+        ell_vals[i, :hi - lo] = X.data[lo:hi]
+    pad_frac = ell_vals.size / max(nnz, 1) - 1.0
+    ec = jnp.asarray(ell_cols)
+    ev = jnp.asarray(ell_vals.astype(np.float32)).astype(jnp.bfloat16)
+    print(f'ELL: nnz_max={nnz_max}, padding +{pad_frac * 100:.0f}%',
+          flush=True)
+
+    from functools import partial as _part
+
+    @_part(jax.jit, static_argnames=('block',))
+    def ell_mm(ec, ev, M, block):
+        Mb = M.astype(jnp.bfloat16)
+        r = ec.shape[0]
+        pad = (-r) % block
+        ecp = jnp.pad(ec, ((0, pad), (0, 0)))
+        evp = jnp.pad(ev, ((0, pad), (0, 0)))
+
+        def step(_, blk):
+            c, v = blk
+            g = jnp.take(Mb, c, axis=0)              # (B, nnz_max, k)
+            o = jnp.einsum('bn,bnk->bk', v, g,
+                           preferred_element_type=jnp.float32)
+            return None, o
+
+        _, out = jax.lax.scan(
+            step, None,
+            (ecp.reshape(-1, block, ecp.shape[1]),
+             evp.reshape(-1, block, evp.shape[1])))
+        return out.reshape(-1, out.shape[-1])[:r]
+
+    for blk in (256, 1024, 4096):
+        try:
+            t, out = timed(lambda b=blk: ell_mm(ec, ev, Mdev, b), args.reps)
+            results[f'ell[{blk}]'] = t
+            print(f'ell[blk={blk:4d}]: {t * 1e3:9.1f} ms  '
+                  f'({nnz / t / 1e6:8.1f} M nnz/s)', flush=True)
+            check(f'ell[{blk}]', out)
+        except Exception as e:
+            print(f'ell[blk={blk}] : FAILED ({type(e).__name__}: '
+                  f'{repr(e)[:120]})', flush=True)
+
     # --- gather + segment_sum (sorted) ------------------------------------
     from functools import partial
 
@@ -126,6 +201,54 @@ def main():
         check('seg_sum', out)
     except Exception as e:     # OOM at (nnz, k) f32 is plausible
         print(f'seg_sum        : FAILED ({type(e).__name__}: {e})')
+
+    # --- row-aligned nnz chunks + segment_sum ------------------------------
+    # Bound the (w, k) transient by splitting at row boundaries every
+    # ~CHUNK nnz; each chunk's segment_sum covers a contiguous row span.
+    CHUNK = 1 << 20
+    bnds = [0]
+    for i in range(args.rows):
+        if X.indptr[i + 1] - X.indptr[bnds[-1]] > CHUNK:
+            bnds.append(i)
+    bnds.append(args.rows)
+
+    @partial(jax.jit, static_argnames=('w', 'span'))
+    def seg_chunk(indptr, cols, vals, M, s, w, span):
+        lo = indptr[s]
+        start = jnp.clip(lo, 0, cols.shape[0] - w)
+        c = jax.lax.dynamic_slice(cols, (start,), (w,)).astype(jnp.int32)
+        v = jax.lax.dynamic_slice(vals, (start,), (w,))
+        k = start + jnp.arange(w, dtype=jnp.int32)
+        rows = (jnp.searchsorted(indptr, k, side='right').astype(jnp.int32)
+                - 1 - s)
+        rows = jnp.where((k < lo) | (rows >= span), span, rows)
+        g = jnp.take(M.astype(jnp.bfloat16), c, axis=0).astype(jnp.float32)
+        g = g * v.astype(jnp.float32)[:, None]
+        return jax.ops.segment_sum(g, rows, num_segments=span + 1,
+                                   indices_are_sorted=True)[:span]
+
+    wmax = int(max(X.indptr[bnds[i + 1]] - X.indptr[bnds[i]]
+                   for i in range(len(bnds) - 1)))
+    spanmax = int(max(bnds[i + 1] - bnds[i] for i in range(len(bnds) - 1)))
+
+    def seg_chunked():
+        outs = []
+        for i in range(len(bnds) - 1):
+            o = seg_chunk(d.indptr, d.cols, d.vals, Mdev, bnds[i],
+                          w=wmax, span=spanmax)
+            outs.append(o[:bnds[i + 1] - bnds[i]])
+        return jnp.concatenate(outs, axis=0)
+
+    try:
+        t, out = timed(seg_chunked, args.reps)
+        results['seg_chunk'] = t
+        print(f'seg_chunk      : {t * 1e3:9.1f} ms  '
+              f'({nnz / t / 1e6:8.1f} M nnz/s)  '
+              f'[{len(bnds) - 1} chunks]', flush=True)
+        check('seg_chunk', out)
+    except Exception as e:
+        print(f'seg_chunk      : FAILED ({type(e).__name__}: '
+              f'{repr(e)[:120]})', flush=True)
 
     # --- BCOO dot_general --------------------------------------------------
     try:
