@@ -61,6 +61,12 @@ def host_bf16(arr: np.ndarray) -> np.ndarray:
 
 _insert_jits: dict = {}
 
+# Package-wide continuous-data link policy pivot: below this many DENSE
+# elements (n*f) a matrix's values ship exact f32; at or above, bf16
+# (quality-neutral on real data — examples/bf16_threshold_ab.py). The
+# distance/preprocess stream thresholds are the same number.
+BF16_LINK_ELEMS = 100_000_000
+
 # Link-transfer accounting for the resident builds (VERDICT round-3 item 3:
 # report MB actually shipped so pool noise can't fake a Distance-phase win).
 # bytes = what the link carried; bf16_equiv_bytes = what the round-3
@@ -284,9 +290,13 @@ class _Backpressure:
         self._bytes = 0
 
 
-def _encode_dense_chunk(x):
+def _encode_dense_chunk(x, exact=False):
     """Host-side link encoding of a dense f32 chunk: (kind, payload numpy
-    arrays, link_bytes). Pure function of the chunk's values — cacheable."""
+    arrays, link_bytes). Pure function of the chunk's values — cacheable.
+
+    exact=True ships continuous data as f32 instead of bf16 — the link
+    policy for matrices under BF16_LINK_ELEMS dense elements (the 'bf16'
+    kind's decoder is dtype-agnostic; bits/u8 formats are exact anyway)."""
     kind, scale = _classify_dense_chunk(x)
     if kind == 'bits':
         packed = np.packbits(x != 0, axis=1)
@@ -300,7 +310,7 @@ def _encode_dense_chunk(x):
     if kind == 'u8':
         xb = np.ascontiguousarray(x, np.uint8)
         return 'u8', (xb,), xb.nbytes
-    xb = host_bf16(x)
+    xb = (np.ascontiguousarray(x, np.float32) if exact else host_bf16(x))
     return 'bf16', (xb,), xb.nbytes
 
 
@@ -324,10 +334,13 @@ def _ship_dense_chunk(resident, x, s, jits, jnp, bp=None):
                          bp)
 
 
-def _encode_csr_chunk(chunk, f):
+def _encode_csr_chunk(chunk, f, exact=False):
     """Host-side link encoding of a scipy CSR row block: ('csr'|'csr_const',
     payload numpy arrays, link_bytes) — or None when a dense format would
-    put fewer bytes on the link (the caller falls through)."""
+    put fewer bytes on the link (the caller falls through).
+
+    exact=True ships continuous values as f32 instead of bf16 (the
+    below-threshold link policy; const/u8 values are exact either way)."""
     import ml_dtypes
 
     nnz = int(chunk.nnz)
@@ -344,11 +357,12 @@ def _encode_csr_chunk(chunk, f):
     # uint16 column indices when the width (and the f drop-sentinel) fit —
     # halves the dominant payload for <=65k-feature modalities
     cdt = np.uint16 if f < 65535 else np.int32
-    val_bytes = {'const': 0, 'u8': 1, 'bf16': 2}[vkind]
+    fdt_bytes = 4 if exact else 2
+    val_bytes = {'const': 0, 'u8': 1, 'bf16': fdt_bytes}[vkind]
     csr_bytes = (np.dtype(cdt).itemsize * _nnz_bucket(nnz) + 4 * (r + 1)
                  + _nnz_bucket(nnz) * val_bytes)
     dense_bytes = (r * ((f + 7) // 8) if vkind == 'const'
-                   else r * f if vkind == 'u8' else 2 * r * f)
+                   else r * f if vkind == 'u8' else fdt_bytes * r * f)
     if csr_bytes >= dense_bytes:
         return None
 
@@ -361,6 +375,9 @@ def _encode_csr_chunk(chunk, f):
                 cols.nbytes + indptr.nbytes)
     if vkind == 'u8':
         vals = np.zeros(pad, np.uint8)
+        vals[:nnz] = chunk.data
+    elif exact:
+        vals = np.zeros(pad, np.float32)
         vals[:nnz] = chunk.data
     else:
         vals = np.zeros(pad, ml_dtypes.bfloat16)
@@ -822,7 +839,7 @@ def _get_spmm_jit():
             valid = (kidx >= start) & (kidx < hi)
             onehot = (rows[None, :] - rstart == ispan[:, None]) \
                 & valid[None, :]
-            Sv = jnp.where(onehot, v[None, :], 0).astype(jnp.bfloat16)
+            Sv = jnp.where(onehot, v[None, :], 0)   # vals' own dtype
             G = jnp.take(M, c, axis=0)
             P = jnp.matmul(Sv, G, preferred_element_type=jnp.float32)
             off = rstart - s
@@ -864,10 +881,12 @@ def _get_row_sq_jit():
 class DeviceCSR:
     """A scipy CSR matrix resident on device in padded-CSR form.
 
-    Uploaded ONCE (indptr int32, cols uint16/int32, vals bf16 — ~6
-    bytes/nnz, 2.4 GB less than dense bf16 at the 100k-cell 3%-dense
-    atlas shapes); every `rows(s, e)` call decodes a dense f32 block
-    with pure chip work, and every `matmul`/`tmatmul` call computes
+    Uploaded ONCE (indptr int32, cols uint16/int32, vals dtype-aware:
+    exact f32 below the package-wide 100M-dense-element bf16 threshold —
+    matching what the dense chunk paths ship at the same sizes — bf16 at
+    scale, ~6 bytes/nnz, 2.4 GB less than dense bf16 at the 100k-cell
+    3%-dense atlas shapes); every `rows(s, e)` call decodes a dense f32
+    block with pure chip work, and every `matmul`/`tmatmul` call computes
     CSR @ M / X^T @ Q directly without materializing the dense block at
     all (see the SpMM note above). This is what makes multi-pass
     streamed consumers (cell->landmark weights, then 2-3 row-streamed
@@ -891,7 +910,13 @@ class DeviceCSR:
         self._indptr_np = np.asarray(X.indptr, np.int64)
         cdt = np.uint16 if f < 65535 else np.int32
         cols = np.asarray(X.indices, cdt)
-        vals = host_bf16(np.asarray(X.data, np.float32))
+        # Value dtype follows the package-wide link policy: matrices whose
+        # DENSE element count is under the 100M bf16 threshold ship exact
+        # f32 (the dense transform/stream paths are exact there too), big
+        # ones round to bf16 (quality A/B'd neutral on real data).
+        vals = np.asarray(X.data, np.float32)
+        if int(n) * int(f) >= BF16_LINK_ELEMS:
+            vals = host_bf16(vals)
         self.nbytes = (4 * (n + 1) + cols.nbytes + vals.nbytes)
         _transfer['bytes'] += self.nbytes
         self.indptr = jnp.asarray(self._indptr_np.astype(np.int32))
@@ -902,8 +927,8 @@ class DeviceCSR:
         jax.block_until_ready((self.indptr, self.cols, self.vals))
 
     def rows(self, s: int, e: int):
-        """Rows [s, e) as a dense f32 device block (bf16-rounded values,
-        the link policy everywhere)."""
+        """Rows [s, e) as a dense f32 device block (values bf16-rounded
+        at scale, exact below the link-policy threshold)."""
         e = min(e, self.shape[0])
         r = e - s
         w = _nnz_bucket(int(self._indptr_np[e] - self._indptr_np[s]))
@@ -939,7 +964,9 @@ class DeviceCSR:
         ends = np.minimum(starts + w, hi) - 1
         row_end = np.searchsorted(indptr_np, ends, side='right') - 1
         span = min(_pow2(int((row_end - row_of).max()) + 1), _pow2(r))
-        Mb = M.astype(jnp.bfloat16)
+        # M rounds to the values' dtype: bf16 at scale (one cast outside
+        # the loop halves gather traffic), exact f32 below the threshold.
+        Mb = M.astype(vals.dtype)
         return _get_spmm_jit()(
             indptr, cols, vals, Mb,
             jnp.asarray(s, jnp.int32), jnp.asarray(lo, jnp.int32),
@@ -949,8 +976,9 @@ class DeviceCSR:
 
     def matmul(self, M, s: int = 0, e: Optional[int] = None):
         """X[s:e] @ M as pure chip work, (e-s, k) f32 — no dense block.
-        M: (f, k) device/host array; cast to bf16 on device (the same
-        rounding every resident consumer applies), f32 accumulation."""
+        M: (f, k) device/host array; cast on device to the values' link
+        dtype (bf16 at scale, exact f32 below the 100M-element
+        threshold), f32 accumulation."""
         e = self.shape[0] if e is None else min(e, self.shape[0])
         return self._spmm(self._indptr_np, self.indptr, self.cols,
                           self.vals, M, s, e)
@@ -1057,6 +1085,11 @@ class ChunkUploader:
         self.X = X
         self.sparse = is_scipy_sparse(X)
         self.bp = _Backpressure(limit_bytes)
+        # Below the package-wide threshold continuous chunks ship exact
+        # f32 (what the non-streamed paths compute at the same sizes);
+        # bf16 rounding is reserved for matrices where the 2x link cut
+        # actually matters.
+        self.exact = (int(X.shape[0]) * int(X.shape[1]) < BF16_LINK_ELEMS)
         # CSR sources that fit the HBM budget become device-resident once
         # (shared across uploaders via the id-keyed cache); rows() then
         # decodes on chip with zero further link traffic.
@@ -1072,7 +1105,7 @@ class ChunkUploader:
             chunk = block_csr_or_dense
             if int(chunk.nnz) == 0:
                 return jnp.zeros((r, f), jnp.float32)
-            enc = _encode_csr_chunk(chunk, f)
+            enc = _encode_csr_chunk(chunk, f, exact=self.exact)
             if enc is not None:
                 _transfer['encode_s'] += time.perf_counter() - t0
                 kind, payload, link_bytes = enc
@@ -1086,7 +1119,7 @@ class ChunkUploader:
             x = np.ascontiguousarray(block_csr_or_dense, np.float32)
         _transfer['read_s'] += time.perf_counter() - t0
         t0 = time.perf_counter()
-        kind, payload, link_bytes = _encode_dense_chunk(x)
+        kind, payload, link_bytes = _encode_dense_chunk(x, exact=self.exact)
         _transfer['encode_s'] += time.perf_counter() - t0
         if kind == 'bits' and not payload[0].any():
             return jnp.zeros((r, f), jnp.float32)

@@ -298,12 +298,12 @@ def test_chunk_uploader_rows_cols_roundtrip():
         np.testing.assert_array_equal(gc, X, err_msg=name)
         up.drain()
 
-    # continuous: bf16 link rounding only
+    # continuous below the link threshold: exact f32 (bf16 rounding is
+    # reserved for matrices past BF16_LINK_ELEMS dense elements)
     X = rng.randn(40, f).astype(np.float32)
     up = residency.ChunkUploader(X)
     got = np.asarray(up.rows(0, 40))
-    np.testing.assert_array_equal(
-        got, np.asarray(residency.host_bf16(X), np.float32))
+    np.testing.assert_array_equal(got, X)
 
     # sparse CSR rows / CSC cols: u8-valued sparse round-trips exactly
     dense = np.zeros((64, 512), np.float32)
@@ -465,7 +465,8 @@ def test_memmap_keeps_cache_identity_through_distances(tmp_path, monkeypatch):
 
 def test_device_csr_resident_rows():
     """DeviceCSR: one upload, on-chip row-block decode identical to the
-    streamed CSR path (bf16-rounded values), shared across uploaders."""
+    source values (exact f32 below the link threshold), shared across
+    uploaders."""
     import scipy.sparse as sp
 
     from jamie_tpu.core import residency
@@ -475,7 +476,7 @@ def test_device_csr_resident_rows():
     mask = rng.rand(300, 500) < 0.04
     dense[mask] = rng.randn(int(mask.sum())).astype(np.float32)
     X = sp.csr_matrix(dense)
-    want = np.asarray(residency.host_bf16(dense), np.float32)
+    want = dense    # below BF16_LINK_ELEMS: values exact
 
     residency.clear_residency_cache()
     residency.reset_transfer_stats()

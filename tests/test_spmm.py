@@ -1,5 +1,9 @@
 """DeviceCSR SpMM paths (matmul / tmatmul / row_sq_sums) — exactness vs
-dense references with the same bf16 link rounding.
+dense references. Below the 100M-dense-element link threshold DeviceCSR
+stores exact f32 values (matching what the dense chunk paths ship at the
+same sizes), so these small fixtures compare against exact f32 products;
+the at-scale bf16 rounding policy is pinned by monkeypatching the
+threshold in test_matmul_bf16_at_scale.
 
 These are the scatter-free kernels that replaced the serialized on-chip
 CSR block decode for every matmul-shaped consumer (PCA sketch/projection,
@@ -35,12 +39,11 @@ def _bf16(a):
 
 
 def _ref_matmul(X, M, s=0, e=None):
-    """Dense reference with the SpMM's rounding: bf16 vals, bf16 M, f32
-    accumulation (computed in f64 here; rtol covers the f32 accum)."""
+    """Exact dense reference (f64 accumulation; small fixtures are below
+    the link threshold, so the SpMM operands are exact f32)."""
     e = X.shape[0] if e is None else e
-    Xd = _bf16(X[s:e].toarray())
-    return (Xd.astype(np.float64) @ _bf16(M).astype(np.float64)).astype(
-        np.float32)
+    return (X[s:e].toarray().astype(np.float64)
+            @ M.astype(np.float64)).astype(np.float32)
 
 
 @pytest.mark.parametrize('n,f,density,k', [
@@ -54,7 +57,7 @@ def test_matmul_matches_dense(n, f, density, k):
     X = _rand_csr(rng, n, f, density)
     M = rng.randn(f, k).astype(np.float32)
     out = np.asarray(DeviceCSR(X).matmul(M))
-    np.testing.assert_allclose(out, _ref_matmul(X, M), rtol=2e-2, atol=1e-4)
+    np.testing.assert_allclose(out, _ref_matmul(X, M), rtol=1e-4, atol=1e-5)
 
 
 def test_matmul_row_blocks():
@@ -65,7 +68,7 @@ def test_matmul_row_blocks():
     for s, e in [(0, 400), (0, 37), (37, 211), (211, 400), (399, 400)]:
         np.testing.assert_allclose(np.asarray(d.matmul(M, s, e)),
                                    _ref_matmul(X, M, s, e),
-                                   rtol=2e-2, atol=1e-4)
+                                   rtol=1e-4, atol=1e-5)
 
 
 def test_matmul_empty_rows_and_blocks():
@@ -74,13 +77,13 @@ def test_matmul_empty_rows_and_blocks():
     M = rng.randn(80, 5).astype(np.float32)
     d = DeviceCSR(X)
     np.testing.assert_allclose(np.asarray(d.matmul(M)), _ref_matmul(X, M),
-                               rtol=2e-2, atol=1e-4)
+                               rtol=1e-4, atol=1e-5)
     # a block that is entirely inside the empty stretch
     s, e = 500 // 3 + 5, 500 // 3 + 60
     blk = np.asarray(d.matmul(M, s, e))
     assert blk.shape == (e - s, 5)
     np.testing.assert_allclose(blk, _ref_matmul(X, M, s, e),
-                               rtol=2e-2, atol=1e-4)
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_matmul_all_zero_matrix():
@@ -96,9 +99,9 @@ def test_tmatmul_matches_dense():
     X = _rand_csr(rng, 250, 180, 0.04)
     Q = rng.randn(250, 11).astype(np.float32)
     out = np.asarray(DeviceCSR(X).tmatmul(Q))       # (f, k) = X^T Q
-    ref = (_bf16(X.toarray()).astype(np.float64).T
-           @ _bf16(Q).astype(np.float64)).astype(np.float32)
-    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=1e-4)
+    ref = (X.toarray().astype(np.float64).T
+           @ Q.astype(np.float64)).astype(np.float32)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
 
 
 def test_tmatmul_empty_columns():
@@ -111,9 +114,9 @@ def test_tmatmul_empty_columns():
     X.sort_indices()
     Q = rng.randn(120, 6).astype(np.float32)
     out = np.asarray(DeviceCSR(X).tmatmul(Q))
-    ref = (_bf16(X.toarray()).astype(np.float64).T
-           @ _bf16(Q).astype(np.float64)).astype(np.float32)
-    np.testing.assert_allclose(out, ref, rtol=2e-2, atol=1e-4)
+    ref = (X.toarray().astype(np.float64).T
+           @ Q.astype(np.float64)).astype(np.float32)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
     assert np.all(out[30:55] == 0)
 
 
@@ -121,8 +124,28 @@ def test_row_sq_sums():
     rng = np.random.RandomState(5)
     X = _rand_csr(rng, 300, 70, 0.06, empty_row_stretch=40)
     sq = np.asarray(DeviceCSR(X).row_sq_sums())
-    ref = (_bf16(X.toarray()) ** 2).sum(axis=1)
+    ref = (X.toarray() ** 2).sum(axis=1)
     np.testing.assert_allclose(sq, ref, rtol=1e-3, atol=1e-5)
+
+
+def test_matmul_bf16_at_scale(monkeypatch):
+    """At/above the link threshold DeviceCSR rounds values (and the SpMM's
+    M operand) to bf16 — pinned by lowering the threshold."""
+    from jamie_tpu.core import residency
+
+    monkeypatch.setattr(residency, 'BF16_LINK_ELEMS', 100)
+    rng = np.random.RandomState(9)
+    X = _rand_csr(rng, 80, 60, 0.2)
+    M = rng.randn(60, 5).astype(np.float32)
+    d = DeviceCSR(X)
+    assert str(d.vals.dtype) == 'bfloat16'
+    out = np.asarray(d.matmul(M))
+    ref = (_bf16(X.toarray()).astype(np.float64)
+           @ _bf16(M).astype(np.float64)).astype(np.float32)
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+    # and stays exact f32 below it
+    monkeypatch.setattr(residency, 'BF16_LINK_ELEMS', 100_000_000)
+    assert str(DeviceCSR(X).vals.dtype) == 'float32'
 
 
 def test_landmark_weights_spmm_route_matches_dense():
