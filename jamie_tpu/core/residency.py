@@ -782,21 +782,26 @@ def _get_dec_block():
 # scale the decode dominated the whole Mapping phase. But every hot
 # consumer of the decoded block is a MATMUL (PCA sketch Xc @ Omega, PCA
 # projection Q^T Xc, cell->landmark Gram x @ lm^T, FPS JL sketch), so the
-# dense block never has to exist: compute CSR @ M directly as windowed
-# one-hot matmuls.
+# dense block never has to exist.
 #
-# Per window of w consecutive nnz (CSR order, so their rows span a small
-# contiguous range): gather the corresponding M rows by column index
-# (G = M[cols], the only irregular op — TPU row-gather vectorizes), build
-# Sv[(span, w)] with Sv[i, j] = vals[j] * [rows[j] == rstart + i] by a
-# broadcast compare (no scatter), and accumulate Sv @ G into the output's
-# [rstart, rstart + span) rows. All MXU + gather work; the scatter is
-# gone. Cost model: gather traffic = nnz * k * 2 B (bf16) + matmul
-# span * w * k FLOPs per window — at the probe shape ~8.8 GB + 0.3 TFLOP
-# vs the serialized decode's 873 ms.
+# Round-5 chip probes (examples/spmm_probe.py, examples/ell_probe.py)
+# settled the formulation: windowed one-hot matmuls, gather+segment_sum,
+# and BCOO all measure ~3-9 M nnz/s (one-hot pays span*w*k FLOPs; TPU
+# serializes scatter), while an ELL row-gather + einsum reduce runs at
+# 156 M nnz/s — 17.7x the decode — because every op in it is a batched
+# row gather or a dense reduce. Its cost is proportional to PADDED slots
+# (the (block, w, k) einsum transient), so the production layout is
+# row-SPLIT ELL: a uniform width w chosen to minimize total padded slots
+# (host scan over pow2-ish candidates), long rows split across
+# ceil(nnz_i/w) consecutive ELL subrows. Subrows of a source row stay
+# CONTIGUOUS, so any row range [s, e) is one slice, and the per-subrow
+# partial products combine by a cumsum over ELL rows differenced at the
+# source-row boundaries — the row_sq_sums prefix-sum trick, vectorized
+# over k. No scatter anywhere; skewed (lognormal) row-nnz only costs its
+# padding, not a global max width.
 # --------------------------------------------------------------------------
 
-_spmm_jit = None
+_ELL_SLOT_TARGET = 1 << 27        # einsum transient budget (elements)
 
 
 def _pow2(x: int) -> int:
@@ -806,52 +811,120 @@ def _pow2(x: int) -> int:
     return b
 
 
-def _get_spmm_jit():
-    global _spmm_jit
-    if _spmm_jit is not None:
-        return _spmm_jit
+def _ell_width(row_nnz: np.ndarray) -> int:
+    """Width minimizing padded slots PLUS per-ELL-row overhead
+    (sum(ceil(nnz_i/w))*w + 32*n_ell) over lane-friendly candidates
+    capped at the max row nnz rounded up. Slots alone always shrink with
+    smaller w (the padding vanishes) but every ELL row also costs a
+    partial-vector write + combine gather — 32 slot-equivalents covers it
+    and keeps the width near the row-nnz scale (uniform 600-nnz rows pick
+    the 688 cap; lognormal ones pick ~256-512)."""
+    mx = int(row_nnz.max(initial=0))
+    if mx == 0:
+        return 128
+    cap = ((mx + 7) // 8) * 8
+    cands = sorted({min(c, cap) for c in
+                    (8, 16, 32, 64, 128, 256, 384, 512, 768, 1024, 1536,
+                     2048, 3072, 4096, cap)})
+    best, best_cost = cands[0], None
+    for w in cands:
+        n_ell = int(((row_nnz + w - 1) // w).sum())
+        cost = n_ell * w + 32 * n_ell
+        if best_cost is None or cost < best_cost:
+            best, best_cost = w, cost
+    return best
+
+
+def _build_ell(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray,
+               w: int, val_dtype, col_dtype, chunk_slots: int = 64 << 20):
+    """Host-side row-split ELL build: (ell_start (n+1,) int64, ec
+    (n_ell, w) col_dtype, ev (n_ell, w) val_dtype). Vectorized numpy
+    fancy-gather, chunked over ELL rows to bound the transient index
+    array. Row padding to the slice-bucket multiple happens ON DEVICE
+    (jnp.pad after upload) so the link never carries pad rows."""
+    n = len(indptr) - 1
+    row_nnz = np.diff(indptr)
+    n_sub = (row_nnz + w - 1) // w                      # 0 for empty rows
+    ell_start = np.zeros(n + 1, np.int64)
+    np.cumsum(n_sub, out=ell_start[1:])
+    n_ell = int(ell_start[-1])
+    ec = np.zeros((n_ell, w), col_dtype)
+    ev = np.zeros((n_ell, w), val_dtype)
+    if n_ell == 0:
+        return ell_start, ec, ev
+    src = np.repeat(np.arange(n, dtype=np.int64), n_sub)
+    sub = np.arange(n_ell, dtype=np.int64) - np.repeat(
+        ell_start[:-1], n_sub)
+    starts = indptr[src] + sub * w
+    lens = np.minimum(indptr[src + 1] - starts, w)
+    jj = np.arange(w, dtype=np.int64)
+    rows_per_chunk = max(int(chunk_slots) // w, 1)
+    nnz = len(indices)
+    for s in range(0, n_ell, rows_per_chunk):
+        e = min(s + rows_per_chunk, n_ell)
+        idx = starts[s:e, None] + jj[None, :]
+        np.clip(idx, 0, nnz - 1, out=idx)
+        mask = jj[None, :] < lens[s:e, None]
+        ec[s:e] = indices[idx]
+        ev[s:e] = np.where(mask, data[idx], 0)
+    return ell_start, ec, ev
+
+
+_ell_mm_jit = None
+
+
+def _get_ell_mm_jit():
+    global _ell_mm_jit
+    if _ell_mm_jit is not None:
+        return _ell_mm_jit
     import jax
     import jax.numpy as jnp
 
-    @partial(jax.jit, static_argnames=('w', 'span', 'r', 'k'))
-    def spmm(indptr, cols, vals, M, s, lo, hi, nw, w, span, r, k):
-        """rows [s, s+r) of CSR(indptr, cols, vals) @ M -> (r, k) f32.
+    @partial(jax.jit, static_argnames=('R', 'block', 'S'))
+    def ell_mm(ec, ev, bounds, M, start, R, block, S):
+        """ELL rows [start, start+R) of the split layout times M, combined
+        at the source-row boundaries `bounds` ((r+1,) i32, absolute ELL
+        row indices) -> (r, k) f32.
 
-        M arrives bf16 (one cast outside the loop halves gather traffic;
-        f32 accumulation in the window matmul). lo/hi bound the block's
-        nnz range; nw is traced so one executable serves every block of a
-        given (w, span, r, k)."""
-        nnz_len = cols.shape[0]
-        pos = jnp.arange(w, dtype=jnp.int32)
-        ispan = jnp.arange(span, dtype=jnp.int32)
+        Per scan block: gather M's rows by the block's column indices
+        ((block, w, k), the only irregular op — TPU row-gather runs at
+        memory speed), multiply by the values and reduce over w (einsum,
+        f32 accumulation). Each source row's <=S subrow partials then
+        combine by S masked row-gathers (no scatter, no long prefix sum —
+        a cumsum-difference combine lost ~1e-3 relative to f32
+        cancellation at just 1000 rows; S is 1 for every unsplit row
+        range, so the common case is a single gather)."""
+        w = ec.shape[1]
+        k = M.shape[1]
+        ecs = jax.lax.dynamic_slice(ec, (start, 0), (R, w))
+        evs = jax.lax.dynamic_slice(ev, (start, 0), (R, w))
 
-        def body(j, Y):
-            start = lo + j * w
-            cstart = jnp.clip(start, 0, max(nnz_len - w, 0))
-            kidx = cstart + pos
-            c = jax.lax.dynamic_slice(cols, (cstart,), (w,)).astype(
-                jnp.int32)
-            v = jax.lax.dynamic_slice(vals, (cstart,), (w,))
-            rows = (jnp.searchsorted(indptr, kidx, side='right')
-                    .astype(jnp.int32) - 1)
-            rstart = (jnp.searchsorted(indptr, jnp.minimum(start, hi - 1),
-                                       side='right').astype(jnp.int32) - 1)
-            valid = (kidx >= start) & (kidx < hi)
-            onehot = (rows[None, :] - rstart == ispan[:, None]) \
-                & valid[None, :]
-            Sv = jnp.where(onehot, v[None, :], 0)   # vals' own dtype
-            G = jnp.take(M, c, axis=0)
-            P = jnp.matmul(Sv, G, preferred_element_type=jnp.float32)
-            off = rstart - s
-            blk = jax.lax.dynamic_slice(Y, (off, 0), (span, k))
-            return jax.lax.dynamic_update_slice(Y, blk + P, (off, 0))
+        def step(_, blk):
+            c, v = blk
+            g = jnp.take(M, c.astype(jnp.int32), axis=0)
+            o = jnp.einsum('bn,bnk->bk', v, g,
+                           preferred_element_type=jnp.float32)
+            return None, o
 
-        Y = jnp.zeros((r + span, k), jnp.float32)
-        Y = jax.lax.fori_loop(0, nw, body, Y)
-        return Y[:r]
+        _, P = jax.lax.scan(
+            step, None,
+            (ecs.reshape(R // block, block, w),
+             evs.reshape(R // block, block, w)))
+        P = P.reshape(R, k)
+        base = bounds[:-1] - start
+        ends = bounds[1:] - start
 
-    _spmm_jit = spmm
-    return spmm
+        def comb(t, out):
+            idx = base + t
+            g = jnp.take(P, jnp.clip(idx, 0, R - 1), axis=0)
+            return out + jnp.where((idx < ends)[:, None], g, 0.0)
+
+        r = base.shape[0]
+        return jax.lax.fori_loop(
+            0, S, comb, jnp.zeros((r, k), jnp.float32))
+
+    _ell_mm_jit = ell_mm
+    return ell_mm
 
 
 _row_sq_jit = None
@@ -907,121 +980,142 @@ class DeviceCSR:
             X.sum_duplicates()
         n, f = X.shape
         self.shape = (int(n), int(f))
+        self._X = X               # host source: lazy flat/CSC builds
         self._indptr_np = np.asarray(X.indptr, np.int64)
-        cdt = np.uint16 if f < 65535 else np.int32
-        cols = np.asarray(X.indices, cdt)
         # Value dtype follows the package-wide link policy: matrices whose
         # DENSE element count is under the 100M bf16 threshold ship exact
         # f32 (the dense transform/stream paths are exact there too), big
         # ones round to bf16 (quality A/B'd neutral on real data).
-        vals = np.asarray(X.data, np.float32)
-        if int(n) * int(f) >= BF16_LINK_ELEMS:
-            vals = host_bf16(vals)
-        self.nbytes = (4 * (n + 1) + cols.nbytes + vals.nbytes)
+        import ml_dtypes
+        self._val_dtype = (ml_dtypes.bfloat16
+                           if int(n) * int(f) >= BF16_LINK_ELEMS
+                           else np.float32)
+        vals_host = np.asarray(X.data, np.float32)
+        if self._val_dtype is not np.float32:
+            vals_host = host_bf16(vals_host)
+        # Primary layout: row-split ELL (the SpMM every hot consumer
+        # runs); built on host, uploaded once.
+        row_nnz = np.diff(self._indptr_np)
+        self.ell_w = _ell_width(row_nnz)
+        cdt = np.uint16 if f < 65535 else np.int32
+        ell_start, ec, ev = _build_ell(
+            self._indptr_np, np.asarray(X.indices, np.int64), vals_host,
+            self.ell_w, self._val_dtype, cdt)
+        self._ell_start_np = ell_start
+        # Pad ELL rows to a multiple of 256 ON DEVICE (jnp.pad zero-fills
+        # device-side, so the link only carries the real rows); 256 is a
+        # multiple of every einsum block the matmul can pick, keeping row
+        # slices bucketable.
+        pad = (-ec.shape[0]) % 256 or (256 if ec.shape[0] == 0 else 0)
+        self.ec = jnp.pad(jnp.asarray(ec), ((0, pad), (0, 0)))
+        self.ev = jnp.pad(jnp.asarray(ev), ((0, pad), (0, 0)))
+        self.nbytes = 4 * (n + 1) + ec.nbytes + ev.nbytes
         _transfer['bytes'] += self.nbytes
         self.indptr = jnp.asarray(self._indptr_np.astype(np.int32))
-        self.cols = jnp.asarray(cols)
-        self.vals = jnp.asarray(vals)
-        self._csc = None          # lazy (colptr_np, colptr, rows, vals)
+        self._flat = None         # lazy (cols, vals) for rows() decode
+        self._csc = None          # lazy transposed DeviceCSR (host tocsc)
         self._row_sq = None       # lazy (n,) f32 cache
-        jax.block_until_ready((self.indptr, self.cols, self.vals))
+        jax.block_until_ready((self.indptr, self.ec, self.ev))
+
+    def _ensure_flat(self):
+        """Flat cols/vals for the dense-block decode — shipped lazily:
+        every hot consumer is matmul-shaped and runs off the ELL layout,
+        so only a consumer that truly needs dense blocks pays this."""
+        if self._flat is not None:
+            return self._flat
+        import jax
+        import jax.numpy as jnp
+        f = self.shape[1]
+        cdt = np.uint16 if f < 65535 else np.int32
+        cols = np.asarray(self._X.indices, cdt)
+        vals = np.asarray(self._X.data, np.float32)
+        if self._val_dtype is not np.float32:
+            vals = host_bf16(vals)
+        nb = cols.nbytes + vals.nbytes
+        _transfer['bytes'] += nb
+        self.nbytes += nb
+        self._flat = (jnp.asarray(cols), jnp.asarray(vals))
+        jax.block_until_ready(self._flat)
+        return self._flat
 
     def rows(self, s: int, e: int):
         """Rows [s, e) as a dense f32 device block (values bf16-rounded
         at scale, exact below the link-policy threshold)."""
         e = min(e, self.shape[0])
         r = e - s
+        cols, vals = self._ensure_flat()
         w = _nnz_bucket(int(self._indptr_np[e] - self._indptr_np[s]))
-        w = min(w, int(self.cols.shape[0]))
+        w = min(w, int(cols.shape[0]))
         if w == 0 or self._indptr_np[-1] == 0:
             import jax.numpy as jnp
             return jnp.zeros((r, self.shape[1]), jnp.float32)
-        return _get_dec_block()(self.indptr, self.cols, self.vals, s,
+        return _get_dec_block()(self.indptr, cols, vals, s,
                                 r=r, f=self.shape[1], w=w)
-
-    @staticmethod
-    def _spmm(indptr_np, indptr, cols, vals, M, s, e,
-              span_target: int = 128):
-        """Shared host-side window plan + kernel dispatch for
-        matmul/tmatmul. The plan picks the nnz window w so a window spans
-        ~span_target rows on average, then takes the MAX actual span over
-        windows (from the host indptr copy) as the kernel's static bound —
-        entries can never be dropped. Both w and span round to powers of
-        two to bound recompiles."""
-        import jax.numpy as jnp
-        r = e - s
-        k = int(M.shape[1])
-        lo, hi = int(indptr_np[s]), int(indptr_np[e])
-        if hi == lo:
-            return jnp.zeros((r, k), jnp.float32)
-        avg = max((hi - lo) / max(r, 1), 1.0)
-        w = int(np.clip(_pow2(int(span_target * avg)), 4096, 1 << 18))
-        w = min(w, _pow2(int(cols.shape[0])), _pow2(hi - lo))
-        if w > int(cols.shape[0]):
-            w = int(cols.shape[0])   # tiny matrix: whole-nnz window
-        starts = np.arange(lo, hi, w, dtype=np.int64)
-        row_of = np.searchsorted(indptr_np, starts, side='right') - 1
-        ends = np.minimum(starts + w, hi) - 1
-        row_end = np.searchsorted(indptr_np, ends, side='right') - 1
-        span = min(_pow2(int((row_end - row_of).max()) + 1), _pow2(r))
-        # M rounds to the values' dtype: bf16 at scale (one cast outside
-        # the loop halves gather traffic), exact f32 below the threshold.
-        Mb = M.astype(vals.dtype)
-        return _get_spmm_jit()(
-            indptr, cols, vals, Mb,
-            jnp.asarray(s, jnp.int32), jnp.asarray(lo, jnp.int32),
-            jnp.asarray(hi, jnp.int32),
-            jnp.asarray(len(starts), jnp.int32),
-            w=w, span=int(span), r=r, k=k)
 
     def matmul(self, M, s: int = 0, e: Optional[int] = None):
         """X[s:e] @ M as pure chip work, (e-s, k) f32 — no dense block.
         M: (f, k) device/host array; cast on device to the values' link
         dtype (bf16 at scale, exact f32 below the 100M-element
-        threshold), f32 accumulation."""
+        threshold), f32 accumulation. Runs the row-split ELL einsum at
+        ~150 M nnz/s (chip probe) vs the decode's ~9 M nnz/s."""
+        import jax.numpy as jnp
         e = self.shape[0] if e is None else min(e, self.shape[0])
-        return self._spmm(self._indptr_np, self.indptr, self.cols,
-                          self.vals, M, s, e)
+        r = e - s
+        k = int(M.shape[1])
+        e0 = int(self._ell_start_np[s])
+        e1 = int(self._ell_start_np[e])
+        if e1 == e0:
+            return jnp.zeros((r, k), jnp.float32)
+        n_pad = int(self.ec.shape[0])
+        w = self.ell_w
+        # einsum scan block: bound the (block, w, k) transient; <=256 so
+        # any block divides the device-side row padding
+        ratio = max(_ELL_SLOT_TARGET // max(w * k, 1), 1)
+        block = int(np.clip(1 << (int(ratio).bit_length() - 1), 8, 256))
+        R = min(_pow2(max(e1 - e0, block)), n_pad)
+        R = ((R + block - 1) // block) * block
+        start = max(min(e0, n_pad - R), 0)
+        Mb = jnp.asarray(M).astype(self.ev.dtype)
+        b_np = self._ell_start_np[s:e + 1]
+        S = _pow2(int((b_np[1:] - b_np[:-1]).max(initial=1)))
+        bounds = jnp.asarray(b_np.astype(np.int32))
+        return _get_ell_mm_jit()(
+            self.ec, self.ev, bounds, Mb,
+            jnp.asarray(start, jnp.int32), R=R, block=block, S=S)
 
     def _ensure_csc(self):
-        """Build the CSC twin ON DEVICE (argsort by column — zero link
-        traffic) for the transposed products. Lazy: only the PCA
-        projection pass needs it. Adds ~6 B/nnz of HBM (i32 rows + bf16
-        vals) plus transient sort buffers."""
-        if self._csc is not None:
-            return
-        import jax
-        import jax.numpy as jnp
-        nnz = int(self.cols.shape[0])
-        n, f = self.shape
-        rows = (jnp.searchsorted(self.indptr,
-                                 jnp.arange(nnz, dtype=jnp.int32),
-                                 side='right').astype(jnp.int32) - 1)
-        order = jnp.argsort(self.cols.astype(jnp.int32))
-        csc_rows = jnp.take(rows, order)
-        csc_vals = jnp.take(self.vals, order)
-        sorted_cols = jnp.take(self.cols.astype(jnp.int32), order)
-        colptr = jnp.searchsorted(
-            sorted_cols, jnp.arange(f + 1, dtype=jnp.int32),
-            side='left').astype(jnp.int32)
-        jax.block_until_ready((csc_rows, csc_vals, colptr))
-        colptr_np = np.asarray(colptr, np.int64)    # small (f+1,) fetch
-        self._csc = (colptr_np, colptr, csc_rows, csc_vals)
+        """The transposed products run the same ELL SpMM over a host-built
+        CSC twin (scipy tocsc — C-speed; the round-4 on-device argsort
+        build measured 21.9 s on the 8M-nnz probe block). Lazy: only the
+        PCA projection pass needs it."""
+        if self._csc is None:
+            self._csc = DeviceCSR(self._X.T.tocsr())
+        return self._csc
 
     def tmatmul(self, Q):
         """X^T @ Q as pure chip work, (f, k) f32 — the PCA projection
-        B = (Q^T Xc)^T without a dense block. Q: (n, k). Runs the same
-        windowed SpMM over the on-device CSC (CSR of X^T)."""
-        self._ensure_csc()
-        colptr_np, colptr, csc_rows, csc_vals = self._csc
-        return self._spmm(colptr_np, colptr, csc_rows, csc_vals, Q,
-                          0, self.shape[1])
+        B = (Q^T Xc)^T without a dense block. Q: (n, k)."""
+        return self._ensure_csc().matmul(Q)
 
     def row_sq_sums(self):
-        """Per-row sum of squared (bf16-rounded) values, (n,) f32 — the
-        |x|^2 term of the cell->landmark Gram, cached."""
+        """Per-row sum of squared values (bf16-rounded at scale), (n,)
+        f32 — the |x|^2 term of the cell->landmark Gram, cached. Computed
+        from the ELL layout (padding slots are zero) with the same
+        cumsum-at-boundaries combine the SpMM uses."""
         if self._row_sq is None:
-            self._row_sq = _get_row_sq_jit()(self.indptr, self.vals)
+            import jax.numpy as jnp
+            sq = (self.ev.astype(jnp.float32) ** 2).sum(axis=1)
+            b = self._ell_start_np
+            S = int((b[1:] - b[:-1]).max(initial=1))
+            base = jnp.asarray(b[:-1].astype(np.int32))
+            ends = jnp.asarray(b[1:].astype(np.int32))
+            out = jnp.zeros((self.shape[0],), jnp.float32)
+            for t in range(S):       # S masked gathers, one-time
+                idx = base + t
+                out = out + jnp.where(
+                    idx < ends,
+                    jnp.take(sq, jnp.clip(idx, 0, sq.shape[0] - 1)), 0.0)
+            self._row_sq = out
         return self._row_sq
 
 

@@ -138,14 +138,14 @@ def test_matmul_bf16_at_scale(monkeypatch):
     X = _rand_csr(rng, 80, 60, 0.2)
     M = rng.randn(60, 5).astype(np.float32)
     d = DeviceCSR(X)
-    assert str(d.vals.dtype) == 'bfloat16'
+    assert str(d.ev.dtype) == 'bfloat16'
     out = np.asarray(d.matmul(M))
     ref = (_bf16(X.toarray()).astype(np.float64)
            @ _bf16(M).astype(np.float64)).astype(np.float32)
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
     # and stays exact f32 below it
     monkeypatch.setattr(residency, 'BF16_LINK_ELEMS', 100_000_000)
-    assert str(DeviceCSR(X).vals.dtype) == 'float32'
+    assert str(DeviceCSR(X).ev.dtype) == 'float32'
 
 
 def test_landmark_weights_spmm_route_matches_dense():
