@@ -147,15 +147,32 @@ def main():
     ap.add_argument('--confirm', default=None,
                     help='single candidate at f32-exact matmul precision')
     ap.add_argument('--precision', default='default')
+    ap.add_argument('--distance', default='geodesic',
+                    choices=['geodesic', 'euclidean'],
+                    help="geodesic is what the reference solver actually "
+                         "consumed: compute_distances (jamie.py:851-857) "
+                         "keys on the UnionCom-inherited distance_mode "
+                         "default, NOT the notebook's dist_method="
+                         "'euclidean' kwarg (that only steers the DNN "
+                         "consistency loss, jamie.py:484-496). The first "
+                         "sweep of this harness fed euclidean K matrices "
+                         "and mismatched every candidate 27x+.")
     args = ap.parse_args()
 
     from sklearn import preprocessing
     from sklearn.metrics import pairwise_distances
 
+    from jamie_tpu.ops.distances import geodesic_distances
+
+    def K_of(mat):
+        if args.distance == 'geodesic':
+            return geodesic_distances(mat.astype(np.float32), kmax=40)
+        return pairwise_distances(mat, metric='euclidean')
+
     X, E = load_raw()
     E = preprocessing.scale(E, axis=0)
     E[np.isnan(E)] = 0
-    Ky = pairwise_distances(E, metric='euclidean')
+    Ky = K_of(E)
     dx, dy = X.shape[1], E.shape[1]
 
     zoo = candidates()
@@ -167,7 +184,7 @@ def main():
         Xt = zoo[name](X.copy())
         Xt = preprocessing.scale(Xt, axis=0)
         Xt[np.isnan(Xt)] = 0
-        Kx = pairwise_distances(Xt, metric='euclidean')
+        Kx = K_of(Xt)
         trace = solver_trace(Kx, Ky, dx, dy, precision)
         dev, devs = score(trace)
         results[name] = dev
