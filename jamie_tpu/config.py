@@ -84,7 +84,8 @@ class JamieConfig:
     # Landmark (Nystrom) correspondence: run the exact prime-dual solver on
     # an L x L landmark subproblem and extend with kNN-Gaussian weights,
     # returning F as a LowRankF factorization (solvers/landmark.py). None =
-    # auto: engages past estimator.LANDMARK_AUTO_ENTRIES (~16k x 16k),
+    # auto: engages past estimator.LANDMARK_AUTO_ENTRIES (~22.8k x 22.8k
+    # with the bf16-state band, round 5),
     # where the dense O(N0*N1) solver state cannot fit one chip (the
     # reference never ran there, SURVEY §6/7); an int forces the landmark
     # path with that L at any size (A/B testing).
@@ -133,9 +134,14 @@ class JamieConfig:
     # carried products and the K operands in bf16 between iterations
     # (arithmetic stays f32; F and M2 stay f32 — their per-step updates
     # are below bf16 ulp, see solvers/prime_dual.py). 28 -> 18 bytes per
-    # N^2 entry = 1.56x the one-chip dense-N entry ceiling. Quality A/B:
-    # examples/pd_state_bf16_ab.py. Default f32 (exact reference parity).
-    solver_state_dtype: str = 'float32'
+    # N^2 entry raises the one-chip dense-N ceiling (measured f32 PASS
+    # 441M entries / bf16 PASS 625M, examples/pd_dense_ceiling_probe.py).
+    # 'auto' (default): f32 up to estimator.DENSE_F32_STATE_ENTRIES,
+    # bf16 in the band up to LANDMARK_AUTO_ENTRIES — so every fit that
+    # worked before keeps exact f32 state, and the 250-520M-entry band
+    # that previously fell to the landmark path runs dense. Quality A/B
+    # seed-neutral on scGEM: examples/pd_state_bf16_ab.py (round 5).
+    solver_state_dtype: str = 'auto'
     epoch_chunk: int = 100            # epochs per scan-compiled chunk
     # Chunks kept in flight past the one being read back: the host fetches
     # chunk k's (tiny) loss outputs while the device already runs k+1..k+1+L,

@@ -40,13 +40,23 @@ from .train.trainer import JamieTrainer
 # synthesizes batch subsets on the fly.
 SENTINEL_ENTRIES = 50_000_000
 
-# Landmark auto-engage threshold: the dense prime-dual solver holds five
-# (N0, N1) f32 state arrays, so ~250M entries (~16k x 16k) is where one
-# chip's 16 GB HBM runs out (measured max ~16.6k cells, RESULTS.md round
-# 3). Below it dense stays the default (exact semantics); above it the
-# landmark low-rank path engages automatically. corr_landmarks forces the
+# Dense prime-dual state-dtype thresholds (solver_state_dtype='auto').
+# Up to 250M (N0, N1) entries the state is exact f32 (28 B/entry; the
+# measured one-chip f32 ceiling is 441M at N=21k — 250M keeps headroom
+# for co-resident data/distance buffers in a real fit). In the band up
+# to LANDMARK_AUTO_ENTRIES the state stores M1 + carried products + K
+# operands in bf16 (18 B/entry; quality seed-neutral on scGEM —
+# examples/pd_state_bf16_ab.py), which is what raises the dense ceiling.
+DENSE_F32_STATE_ENTRIES = 250_000_000
+
+# Landmark auto-engage threshold: with bf16 state the dense solver's
+# measured one-chip PASS is 625M entries (N=25k, 50-epoch probe,
+# examples/pd_dense_ceiling_probe.py round 5); 520M (~22.8k x 22.8k,
+# 2.1x the round-4 ceiling) keeps margin for co-resident buffers. Below
+# it dense stays the default (exact semantics); above it the landmark
+# low-rank path engages automatically. corr_landmarks forces the
 # landmark path at any size.
-LANDMARK_AUTO_ENTRIES = 250_000_000
+LANDMARK_AUTO_ENTRIES = 520_000_000
 
 
 def _unwrap_anndata(dataset):
@@ -285,7 +295,10 @@ class JAMIE:
                         log_pd=cfg.log_pd,
                         precision=('highest' if cfg.solver_dtype == 'float32'
                                    else 'default'),
-                        state_dtype=cfg.solver_state_dtype)
+                        # L x L solver state is tiny; 'auto' resolves f32
+                        state_dtype=(cfg.solver_state_dtype
+                                     if cfg.solver_state_dtype != 'auto'
+                                     else 'float32'))
                 elif cfg.corr_method == 'unioncom':
                     F = self.Prime_Dual(
                         [self.dist[i], self.dist[j]],
@@ -299,15 +312,29 @@ class JAMIE:
         print('Finished Matching!')
         return cor_pairs
 
+    def _resolved_state_dtype(self, entries: int) -> str:
+        """'auto' -> exact f32 state up to DENSE_F32_STATE_ENTRIES (the
+        measured one-chip f32 ceiling is 441M at N=21k; 250M keeps margin
+        for co-resident buffers), bf16 state in the band up to
+        LANDMARK_AUTO_ENTRIES (bf16 measured PASS at 625M / N=25k;
+        quality A/B'd seed-neutral on scGEM, examples/pd_state_bf16_ab.py +
+        pd_dense_ceiling_probe.py, round 5)."""
+        st = self.config.solver_state_dtype
+        if st != 'auto':
+            return st
+        return ('float32' if entries <= DENSE_F32_STATE_ENTRIES
+                else 'bfloat16')
+
     def Prime_Dual(self, dist, dx=None, dy=None, verbose=True):
         cfg = self.config
+        entries = int(np.shape(dist[0])[0]) * int(np.shape(dist[1])[0])
         return prime_dual(
             dist[0], dist[1], dx=dx, dy=dy,
             epoch_pd=cfg.epoch_pd, rho=cfg.rho, epsilon=cfg.epsilon,
             delay=cfg.delay, log_pd=cfg.log_pd, verbose=verbose,
             precision=('highest' if cfg.solver_dtype == 'float32'
                        else 'default'),
-            state_dtype=cfg.solver_state_dtype,
+            state_dtype=self._resolved_state_dtype(entries),
             mesh=self.mesh)
 
     def com_corr(self, dist):

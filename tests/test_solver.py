@@ -104,3 +104,29 @@ def test_prime_dual_bf16_state_sharded_matches_unsharded():
                                  verbose=False, state_dtype='bfloat16',
                                  mesh=mesh))
     np.testing.assert_allclose(F_sh, F_ref, rtol=1e-3, atol=1e-5)
+
+
+def test_solver_state_dtype_auto_resolution():
+    """'auto' (the default) resolves by dense-state entry count: exact
+    f32 up to DENSE_F32_STATE_ENTRIES, bf16 in the band up to
+    LANDMARK_AUTO_ENTRIES (measured chip ceilings, RESULTS.md round 5);
+    explicit values pass through untouched."""
+    from jamie_tpu import JAMIE
+    from jamie_tpu.estimator import (
+        DENSE_F32_STATE_ENTRIES, LANDMARK_AUTO_ENTRIES,
+    )
+
+    jm = JAMIE()
+    assert jm.config.solver_state_dtype == 'auto'
+    assert jm._resolved_state_dtype(10_000) == 'float32'
+    assert jm._resolved_state_dtype(DENSE_F32_STATE_ENTRIES) == 'float32'
+    assert (jm._resolved_state_dtype(DENSE_F32_STATE_ENTRIES + 1)
+            == 'bfloat16')
+    # The band the raise opened really is below the landmark cutoff
+    assert DENSE_F32_STATE_ENTRIES < LANDMARK_AUTO_ENTRIES
+    assert LANDMARK_AUTO_ENTRIES == 520_000_000
+
+    jm32 = JAMIE(solver_state_dtype='float32')
+    assert jm32._resolved_state_dtype(10**12) == 'float32'
+    jmb = JAMIE(solver_state_dtype='bfloat16')
+    assert jmb._resolved_state_dtype(4) == 'bfloat16'
