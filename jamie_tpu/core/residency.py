@@ -1097,6 +1097,13 @@ class DeviceCSR:
         B = (Q^T Xc)^T without a dense block. Q: (n, k)."""
         return self._ensure_csc().matmul(Q)
 
+    def release_csc(self):
+        """Drop the CSC twin's device arrays. The twin serves only the
+        transposed products (PCA projection passes); at atlas scale it
+        holds 0.6-1.2 GB of HBM that later phases need. A subsequent
+        tmatmul transparently rebuilds it."""
+        self._csc = None
+
     def row_sq_sums(self):
         """Per-row sum of squared values (bf16-rounded at scale), (n,)
         f32 — the |x|^2 term of the cell->landmark Gram, cached. Computed

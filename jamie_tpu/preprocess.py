@@ -36,6 +36,12 @@ _STREAM_THRESHOLD = 100_000_000
 # path is pure MXU matmuls + a small QR/eigh)
 _RANDOMIZED_THRESHOLD = 4096
 
+# Row-block size for the resident-CSR SpMM sketch in the row-streamed PCA:
+# bounds the (ell_rows, k) einsum partial at ~280 MB (a whole-matrix call
+# materializes 2.1 GB at 1M cells x k=522, which OOMed the 1M atlas fit
+# alongside Q/scores/QR workspace — round 5).
+_SKETCH_SPMM_ROWS = 65_536
+
 
 @partial(jax.jit,
          static_argnames=('n_components', 'oversample', 'power_iters',
@@ -203,10 +209,21 @@ def _pca_fit_row_streamed(X, n_components: int, oversample: int = 10,
     dcsr = getattr(up, 'dcsr', None)
 
     def sketch(M):
-        """Y = Xc M, streamed over row blocks: (n, k) stays on device."""
+        """Y = Xc M, streamed over row blocks: (n, k) stays on device.
+        The SpMM route is ALSO row-blocked: a whole-matrix matmul
+        materializes the (ell_rows, k) einsum partial before the
+        subrow combine — 2.1 GB at 1M cells x k=522, which OOMed the
+        million-cell fit on top of Q/scores/QR workspace (round-5 1M
+        re-run). 128k-row slices bound it at ~280 MB for free (the
+        slice boundaries land on the device-side 256-row ELL padding)."""
         mo = mean @ M                                   # (k,)
         if dcsr is not None:
-            return dcsr.matmul(M) - mo[None, :]
+            step = _SKETCH_SPMM_ROWS
+            if n <= step:
+                return dcsr.matmul(M) - mo[None, :]
+            parts = [dcsr.matmul(M, s, min(s + step, n)) - mo[None, :]
+                     for s in range(0, n, step)]
+            return jnp.concatenate(parts, axis=0)
         parts = []
         for s in range(0, n, rows):
             xb = up.rows(s, s + rows)
@@ -227,6 +244,11 @@ def _pca_fit_row_streamed(X, n_components: int, oversample: int = 10,
     for _ in range(power_iters):    # each iteration = 2 more data passes
         Q, _ = jnp.linalg.qr(sketch(project(Q).T))
     B = project(Q)
+    if dcsr is not None:
+        # The CSC twin only serves the projection passes above; at atlas
+        # scale it is 0.6-1.2 GB of HBM that the eigendecode + trainer
+        # phases below should not have to share the chip with.
+        dcsr.release_csc()
     BBt = B @ B.T
     w, Ub = jnp.linalg.eigh(BBt)
     Ub = Ub[:, ::-1][:, :n_components]

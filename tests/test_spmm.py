@@ -225,3 +225,29 @@ def test_pca_transform_spmm_route_matches_dense(monkeypatch):
     # bf16 rounding of the projection operands: ~2^-8 relative on
     # O(10) scores -> atol a few 1e-2
     np.testing.assert_allclose(out, dense_out, rtol=5e-2, atol=2e-2)
+
+
+def test_row_streamed_pca_sketch_blocks_match_whole(monkeypatch):
+    """The row-blocked SpMM sketch (bounds the (ell_rows, k) einsum
+    partial that OOMed the 1M fit) equals the whole-matrix product."""
+    import scipy.sparse as sp
+
+    import jamie_tpu.preprocess as pp
+    from jamie_tpu.core.residency import clear_residency_cache
+
+    rng = np.random.RandomState(11)
+    X = sp.random(700, 90, density=0.05, random_state=rng,
+                  format='csr', dtype=np.float32)
+    monkeypatch.setattr(pp, '_SKETCH_SPMM_ROWS', 128)  # force >1 block
+    m_b, c_b, s_b = pp._pca_fit_row_streamed(X, 8)
+    clear_residency_cache()
+    monkeypatch.setattr(pp, '_SKETCH_SPMM_ROWS', 10 ** 9)
+    m_w, c_w, s_w = pp._pca_fit_row_streamed(X, 8)
+    np.testing.assert_allclose(np.asarray(m_b), np.asarray(m_w),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.abs(np.asarray(c_b)),
+                               np.abs(np.asarray(c_w)),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.abs(np.asarray(s_b)),
+                               np.abs(np.asarray(s_w)),
+                               rtol=1e-3, atol=1e-3)
