@@ -967,7 +967,7 @@ class DeviceCSR:
     re-shipping the matrix per pass — at the axon pool's worst measured
     link rates the re-streaming dominated the whole atlas fit."""
 
-    def __init__(self, X):
+    def __init__(self, X, _count_equiv: bool = True):
         import jax
         import jax.numpy as jnp
         if not X.has_canonical_format:
@@ -1011,6 +1011,12 @@ class DeviceCSR:
         self.ev = jnp.pad(jnp.asarray(ev), ((0, pad), (0, 0)))
         self.nbytes = 4 * (n + 1) + ec.nbytes + ev.nbytes
         _transfer['bytes'] += self.nbytes
+        if _count_equiv:
+            # What ONE dense-bf16 shipment of this matrix would cost —
+            # the same counterfactual every other link path records (the
+            # CSC twin counts its real bytes but no extra equivalent:
+            # a dense-resident matrix would not need a twin).
+            _transfer['bf16_equiv_bytes'] += 2 * int(n) * int(f)
         self.indptr = jnp.asarray(self._indptr_np.astype(np.int32))
         self._flat = None         # lazy (cols, vals) for rows() decode
         self._csc = None          # lazy transposed DeviceCSR (host tocsc)
@@ -1089,7 +1095,7 @@ class DeviceCSR:
         build measured 21.9 s on the 8M-nnz probe block). Lazy: only the
         PCA projection pass needs it."""
         if self._csc is None:
-            self._csc = DeviceCSR(self._X.T.tocsr())
+            self._csc = DeviceCSR(self._X.T.tocsr(), _count_equiv=False)
         return self._csc
 
     def tmatmul(self, Q):
